@@ -1,0 +1,97 @@
+"""Langevin dynamics statistical + behavioral tests.
+
+Mirrors ``tests/samplers/test_langevin_dynamics.py`` (moment matching against
+analytic Gaussian energies is the reference's key statistical test, :184).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchebm_tpu.core import (
+    CosineScheduler,
+    DoubleWellEnergy,
+    GaussianEnergy,
+    GaussianMixtureEnergy,
+)
+from torchebm_tpu.samplers import LangevinDynamics
+
+
+@pytest.mark.slow
+def test_gaussian_sampling_statistics(key):
+    mean = jnp.array([1.0, -1.0])
+    cov = jnp.array([[1.0, 0.3], [0.3, 0.5]])
+    sampler = LangevinDynamics(GaussianEnergy.create(mean, cov), step_size=0.01)
+    samples = sampler.sample(key, dim=2, n_samples=5000, n_steps=2000)
+    np.testing.assert_allclose(jnp.mean(samples, 0), mean, atol=0.08)
+    np.testing.assert_allclose(jnp.cov(samples.T), cov, atol=0.1)
+
+
+def test_double_well_modes(key):
+    sampler = LangevinDynamics(DoubleWellEnergy(barrier_height=2.0), step_size=0.01)
+    samples = sampler.sample(key, dim=1, n_samples=2000, n_steps=1000)
+    # symmetric double well: |x| concentrates near 1
+    assert abs(float(jnp.mean(jnp.abs(samples))) - 1.0) < 0.15
+
+
+def test_mixture_modes_covered(key):
+    mix = GaussianMixtureEnergy.eight_gaussians(radius=4.0, scale=0.4)
+    sampler = LangevinDynamics(mix, step_size=0.05)
+    x0 = mix.sample(key, 4000)  # start at equilibrium; Langevin should stay there
+    samples = sampler.sample(jax.random.fold_in(key, 1), x=x0, n_steps=500)
+    r = jnp.linalg.norm(samples, axis=-1)
+    assert abs(float(jnp.mean(r)) - 4.0) < 0.2
+
+
+def test_same_key_reproduces(key):
+    sampler = LangevinDynamics(GaussianEnergy.standard(2), step_size=0.01)
+    a = sampler.sample(key, dim=2, n_samples=16, n_steps=50)
+    b = sampler.sample(key, dim=2, n_samples=16, n_steps=50)
+    np.testing.assert_array_equal(a, b)
+    c = sampler.sample(jax.random.fold_in(key, 1), dim=2, n_samples=16, n_steps=50)
+    assert float(jnp.max(jnp.abs(a - c))) > 1e-4
+
+
+def test_clamp(key):
+    sampler = LangevinDynamics(
+        GaussianEnergy.standard(2), step_size=0.1, noise_scale=5.0, clamp=(-1.0, 1.0)
+    )
+    out = sampler.sample(key, dim=2, n_samples=64, n_steps=20)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0
+    with pytest.raises(ValueError):
+        LangevinDynamics(GaussianEnergy.standard(2), clamp=(1.0, -1.0))
+
+
+def test_scheduled_step_size_runs(key):
+    sch = CosineScheduler(0.05, 0.001, 100)
+    sampler = LangevinDynamics(GaussianEnergy.standard(2), step_size=sch)
+    out = sampler.sample(key, dim=2, n_samples=8, n_steps=100)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_zero_noise_is_gradient_descent(key):
+    e = GaussianEnergy.standard(2)
+    sampler = LangevinDynamics(e, step_size=0.1, noise_scale=0.0)
+    x0 = jnp.full((4, 2), 3.0)
+    out = sampler.sample(key, x=x0, n_steps=1)
+    np.testing.assert_allclose(out, x0 - 0.1 * e.gradient(x0), rtol=1e-5)
+
+
+def test_alternative_sde_integrator(key):
+    sampler = LangevinDynamics(GaussianEnergy.standard(2), step_size=0.01, integrator="heun")
+    out = sampler.sample(key, dim=2, n_samples=128, n_steps=500)
+    assert abs(float(jnp.var(out)) - 1.0) < 0.3
+
+
+def test_no_recompile_on_param_change(key):
+    """Changing step_size (a leaf) must not retrace the compiled chain."""
+    e = GaussianEnergy.standard(2)
+    s1 = LangevinDynamics(e, step_size=0.01)
+    s2 = LangevinDynamics(e, step_size=0.02)
+    from torchebm_tpu.samplers.base import _sample_impl
+
+    s1.sample(key, dim=2, n_samples=4, n_steps=3)
+    misses_before = _sample_impl._cache_size()
+    s2.sample(key, dim=2, n_samples=4, n_steps=3)
+    assert _sample_impl._cache_size() == misses_before

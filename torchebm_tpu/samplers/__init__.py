@@ -1,0 +1,40 @@
+"""MCMC and generative samplers, all compiled to single XLA programs.
+
+Mirrors ``torchebm/samplers/__init__.py:10-21`` plus build additions
+(dual-averaging warmup, R̂/ESS diagnostics).
+"""
+
+from .base import BaseSampler
+from .diagnostics import (
+    effective_sample_size,
+    potential_scale_reduction,
+    summarize_chains,
+)
+from .gradient_descent import GradientDescentSampler, NesterovSampler
+from .hmc import DualAveragingState, HamiltonianMonteCarlo, dual_averaging_update
+from .langevin import LangevinDynamics
+from .rmhmc import RiemannianManifoldHMC
+
+__all__ = [
+    "BaseSampler",
+    "LangevinDynamics",
+    "HamiltonianMonteCarlo",
+    "RiemannianManifoldHMC",
+    "GradientDescentSampler",
+    "NesterovSampler",
+    "DualAveragingState",
+    "dual_averaging_update",
+    "potential_scale_reduction",
+    "effective_sample_size",
+    "summarize_chains",
+]
+
+
+def __getattr__(name):
+    # FlowSampler lives in its own module with interpolant dependencies;
+    # lazy-load to keep the MCMC path import-light.
+    if name in ("FlowSampler", "PredictionType"):
+        from . import flow
+
+        return getattr(flow, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,201 @@
+r"""Sampler contract and the shared compiled sampling loop.
+
+TPU-native re-design of ``torchebm/core/base_sampler.py:10-155``. The
+reference's ``sample()`` runs a host-Python loop launching device kernels per
+step; here the **entire chain** — thinning, trajectory recording, diagnostics,
+scheduler advancement — compiles to a single XLA program via nested
+``lax.scan``/``fori_loop``. This is the reference's Triton whole-chain-kernel
+ceiling (``cuda/fused_langevin.py:65-88``) achieved generically for any energy.
+
+Contract parity (reference ``base_sampler.py``):
+
+- ``sample(key, x=None, dim=None, n_steps=100, n_samples=1, thin=1,
+  return_trajectory=False, return_diagnostics=False, model_kwargs=None)``
+- returns samples ``(n_samples, *data_shape)``, or trajectory
+  ``(n_samples, n_steps//thin, *data_shape)`` when ``return_trajectory``;
+  optionally paired with a diagnostics dict of arrays of length
+  ``n_steps//thin`` (keys ``mean``/``var``/``energy`` + sampler-specific,
+  e.g. ``acceptance_rate``).
+- the explicit ``generator`` threading contract (``base_sampler.py:140-144``)
+  becomes mandatory ``jax.random`` key threading; per-rank decorrelation is
+  ``jax.random.fold_in(key, rank)``.
+
+Subclasses implement three small hooks (``init_carry`` / ``step`` /
+``extra_diagnostics``) and inherit the compiled loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.energies import Energy
+
+Array = jax.Array
+
+__all__ = ["BaseSampler"]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_steps",
+        "thin",
+        "return_trajectory",
+        "return_diagnostics",
+    ),
+)
+def _sample_impl(
+    sampler: "BaseSampler",
+    x0: Array,
+    key: Array,
+    n_steps: int,
+    thin: int,
+    return_trajectory: bool,
+    return_diagnostics: bool,
+    model_kwargs: Dict[str, Any],
+):
+    """The shared compiled sampling loop.
+
+    Structure: an outer ``scan`` over the ``n_steps // thin`` kept slots, each
+    running ``thin`` transition steps in an inner ``fori_loop``, followed by
+    the ``n_steps % thin`` remainder steps (the reference records at
+    ``(i+1) % thin == 0``, so trailing steps still execute,
+    ``langevin_dynamics.py:163-185``). Step index ``i`` drives schedulers and
+    per-step key folding.
+    """
+    n_kept = n_steps // thin
+    remainder = n_steps - n_kept * thin
+
+    carry0 = sampler.init_carry(x0, jax.random.fold_in(key, n_steps), model_kwargs)
+
+    def one_step(i, carry):
+        return sampler.step(carry, i, jax.random.fold_in(key, i), model_kwargs)
+
+    def outer(carry, k):
+        start = k * thin
+
+        def inner(j, c):
+            return one_step(start + j, c)
+
+        carry = jax.lax.fori_loop(0, thin, inner, carry)
+        x = carry["x"]
+        outs = {}
+        if return_trajectory:
+            outs["traj"] = x
+        if return_diagnostics:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.clip(jnp.var(x, axis=0), 1e-10, 1e10)
+            outs["mean"] = mean
+            outs["var"] = var
+            outs["energy"] = jnp.mean(sampler.energy_of(x, model_kwargs))
+            outs.update(sampler.extra_diagnostics(carry, model_kwargs))
+        return carry, outs
+
+    if n_kept > 0:
+        carry, outs = jax.lax.scan(outer, carry0, jnp.arange(n_kept))
+    else:
+        carry, outs = carry0, {}
+    if remainder > 0:
+        carry = jax.lax.fori_loop(
+            n_kept * thin, n_steps, one_step, carry
+        )
+
+    x_final = carry["x"]
+    if return_trajectory and n_kept > 0:
+        # scan stacked kept states as (n_kept, B, *ds) -> (B, n_kept, *ds)
+        traj = jnp.moveaxis(outs.pop("traj"), 0, 1)
+        output = traj
+    elif return_trajectory:
+        output = x_final[:, None]
+        outs = dict(outs)
+        outs.pop("traj", None)
+    else:
+        outs = dict(outs)
+        outs.pop("traj", None)
+        output = x_final
+
+    if return_diagnostics:
+        return output, outs
+    return output
+
+
+class BaseSampler:
+    """Sampler base. Concrete samplers are ``flax.struct`` pytrees subclassing this.
+
+    Required fields on subclasses: ``model`` (an :class:`Energy`). Hooks:
+
+    - ``init_carry(x0, key, model_kwargs) -> dict`` with at least ``"x"``.
+    - ``step(carry, i, key, model_kwargs) -> carry`` — one transition at step
+      index ``i`` (schedulers evaluate at ``i``; matches the reference's
+      step-then-advance convention).
+    - ``extra_diagnostics(carry, model_kwargs) -> dict`` — per-kept-slot extras
+      (e.g. ``acceptance_rate``).
+    """
+
+    # ------------------------------------------------------------------ hooks
+    def init_carry(self, x0: Array, key: Array, model_kwargs) -> Dict[str, Any]:
+        return {"x": x0}
+
+    def step(self, carry, i, key, model_kwargs) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def extra_diagnostics(self, carry, model_kwargs) -> Dict[str, Array]:
+        return {}
+
+    def energy_of(self, x: Array, model_kwargs) -> Array:
+        return self.model.energy(x, **(model_kwargs or {}))
+
+    def gradient_of(self, x: Array, model_kwargs) -> Array:
+        return self.model.gradient(x, **(model_kwargs or {}))
+
+    # ------------------------------------------------------------------ API
+    def _init_state(
+        self,
+        key: Array,
+        x: Optional[Array],
+        dim: Optional[Union[int, Tuple[int, ...]]],
+        n_samples: int,
+    ) -> Array:
+        """Coerce ``x`` or draw ``N(0, I)`` (reference ``base_sampler.py:46-74``)."""
+        if x is not None:
+            return jnp.asarray(x)
+        if dim is None:
+            raise ValueError("Either `x` or `dim` must be provided.")
+        shape = (dim,) if isinstance(dim, int) else tuple(dim)
+        return jax.random.normal(key, (n_samples, *shape), jnp.float32)
+
+    def sample(
+        self,
+        key: Array,
+        x: Optional[Array] = None,
+        dim: Optional[Union[int, Tuple[int, ...]]] = None,
+        n_steps: int = 100,
+        n_samples: int = 1,
+        thin: int = 1,
+        return_trajectory: bool = False,
+        return_diagnostics: bool = False,
+        *,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        """Run the compiled chain. See module docstring for the shape contract."""
+        if thin < 1:
+            raise ValueError("thin must be >= 1")
+        if n_steps < 1:
+            raise ValueError("n_steps must be >= 1")
+        key_init, key_run = jax.random.split(key)
+        x0 = self._init_state(key_init, x, dim, n_samples)
+        return _sample_impl(
+            self,
+            x0,
+            key_run,
+            n_steps,
+            thin,
+            bool(return_trajectory),
+            bool(return_diagnostics),
+            model_kwargs or {},
+        )
