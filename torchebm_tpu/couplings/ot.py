@@ -1,0 +1,335 @@
+r"""Minibatch optimal-transport couplings, all jnp-native and jittable.
+
+Reference: ``torchebm/couplings/ot.py`` (auction ``:91-179``, log-Sinkhorn
+``:32-53``, unbalanced ``:56-88``, greedy ``:182-217``). Differences from the
+torch implementations:
+
+- Sinkhorn iterations run in ``lax.fori_loop``; the row-conditional draw is
+  ``jax.random.categorical`` on the log-plan (equivalent to multinomial on the
+  exponentiated plan, but skips the exp→clamp→renormalize round-trip).
+- The Bertsekas auction's data-dependent bidding rounds become **bounded
+  ``lax.while_loop``s on device** — the reference's host-side
+  ``.nonzero()``/``.any()`` round-trips per round disappear; bidding is
+  computed for all rows each round and masked to the unassigned ones.
+- Greedy nearest-free-pair is re-expressed as ``n`` rounds of masked global
+  argmin (identical pairing to the reference's sorted-scan on the host,
+  ``ot.py:182-217``, but vectorized: each round is one ``argmin`` over the
+  masked cost matrix on the VPU instead of a host-side byte-array scan).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .base import BaseCostCoupling, BaseCoupling, BaseModelCoupling, CouplingResult
+
+Array = jax.Array
+
+__all__ = [
+    "ExactOTCoupling",
+    "SinkhornCoupling",
+    "UnbalancedSinkhornCoupling",
+    "GreedyCoupling",
+    "IndependentCoupling",
+    "ReflowCoupling",
+    "sinkhorn_log",
+    "unbalanced_sinkhorn_log",
+    "auction_assignment",
+    "greedy_assignment",
+]
+
+
+# ---------------------------------------------------------------- solvers
+
+
+def sinkhorn_log(C: Array, reg: float, n_iters: int) -> Array:
+    """Log-domain Sinkhorn; returns the **log** transport plan (n, m)."""
+    n, m = C.shape
+    M = -C / reg
+    log_mu = -math.log(n)
+    log_nu = -math.log(m)
+
+    def body(_, fg):
+        f, g = fg
+        f = log_mu - jax.scipy.special.logsumexp(M + g[None, :], axis=1)
+        g = log_nu - jax.scipy.special.logsumexp(M + f[:, None], axis=0)
+        return f, g
+
+    f, g = jax.lax.fori_loop(
+        0, n_iters, body, (jnp.zeros(n, C.dtype), jnp.zeros(m, C.dtype))
+    )
+    return M + f[:, None] + g[None, :]
+
+
+def unbalanced_sinkhorn_log(C: Array, reg: float, reg_marginal: float, n_iters: int) -> Array:
+    r"""KL-relaxed log-domain Sinkhorn with damping :math:`\phi=\rho/(\rho+\varepsilon)`
+    (Chizat et al. 2018); returns the log plan."""
+    n, m = C.shape
+    M = -C / reg
+    log_mu = -math.log(n)
+    log_nu = -math.log(m)
+    fi = reg_marginal / (reg_marginal + reg)
+
+    def body(_, fg):
+        f, g = fg
+        f = fi * (log_mu - jax.scipy.special.logsumexp(M + g[None, :], axis=1))
+        g = fi * (log_nu - jax.scipy.special.logsumexp(M + f[:, None], axis=0))
+        return f, g
+
+    f, g = jax.lax.fori_loop(
+        0, n_iters, body, (jnp.zeros(n, C.dtype), jnp.zeros(m, C.dtype))
+    )
+    return M + f[:, None] + g[None, :]
+
+
+def auction_assignment(
+    cost: Array,
+    tol: float = 1e-4,
+    scale_factor: float = 8.0,
+    max_rounds: int = 0,
+) -> Array:
+    r"""Vectorized Bertsekas forward auction with ε-scaling, fully on device.
+
+    Each bidding round: every unassigned row bids on its best column
+    (``top_k(2)`` margins); contested columns resolve by highest bid then
+    lowest row index; evicted owners re-enter the pool. Prices persist across
+    ε-scaling phases. Returns a permutation ``perm`` with row ``i`` assigned
+    to column ``perm[i]``; within ``tol`` of the optimal assignment.
+    """
+    n = cost.shape[0]
+    if n == 1:
+        return jnp.zeros((1,), jnp.int32)
+    benefit = -cost.astype(jnp.float32)
+    eps_final = tol / n
+    spread = jnp.maximum(jnp.max(benefit) - jnp.min(benefit), eps_final)
+    eps0 = jnp.maximum(spread / 4.0, eps_final)
+    if max_rounds <= 0:
+        max_rounds = max(200, 100 * n)
+
+    rows_iota = jnp.arange(n, dtype=jnp.int32)
+    NEG = jnp.float32(-jnp.inf)
+
+    def bidding_phase(state):
+        """Inner loop: bid until all rows assigned or round budget exhausted."""
+        assign_row, assign_col, prices, eps, rounds = state
+
+        def cond(s):
+            a_row, _, _, _, r = s
+            return jnp.any(a_row < 0) & (r <= max_rounds)
+
+        def body(s):
+            a_row, a_col, pr, e, r = s
+            unassigned = a_row < 0  # (n,)
+            values = benefit - pr[None, :]  # (n, n)
+            top2_vals, top2_idx = jax.lax.top_k(values, 2)
+            best_col = top2_idx[:, 0]
+            margin = top2_vals[:, 0] - top2_vals[:, 1]
+            bids = jnp.where(unassigned, pr[best_col] + margin + e, NEG)
+
+            # highest bid per contested column
+            bid_max = jnp.full((n,), NEG).at[best_col].max(bids)
+            is_winner = unassigned & (bids >= bid_max[best_col])
+            # lowest row index wins ties
+            winner_row = (
+                jnp.full((n,), n, jnp.int32)
+                .at[jnp.where(is_winner, best_col, n)]
+                .min(jnp.where(is_winner, rows_iota, n), mode="drop")
+            )
+            col_won = winner_row < n  # (n,) columns with a new owner
+
+            # evict previous owners of the won columns
+            prev_owner = jnp.where(col_won, a_col, -1)
+            a_row = a_row.at[jnp.where(prev_owner >= 0, prev_owner, n)].set(
+                -1, mode="drop"
+            )
+            # assign winners
+            a_row = a_row.at[jnp.where(col_won, winner_row, n)].set(
+                jnp.where(col_won, rows_iota, n), mode="drop"
+            )
+            a_col = jnp.where(col_won, winner_row, a_col)
+            pr = jnp.where(col_won, bid_max, pr)
+            return a_row, a_col, pr, e, r + 1
+
+        return jax.lax.while_loop(cond, body, state)
+
+    def scaling_cond(state):
+        _, _, _, eps, rounds, done = state
+        return jnp.logical_not(done)
+
+    def scaling_body(state):
+        assign_row, assign_col, prices, eps, rounds, _ = state
+        assign_row = jnp.full((n,), -1, jnp.int32)
+        assign_col = jnp.full((n,), -1, jnp.int32)
+        assign_row, assign_col, prices, eps, rounds = bidding_phase(
+            (assign_row, assign_col, prices, eps, rounds)
+        )
+        done = (rounds > max_rounds) | (eps <= eps_final)
+        eps = jnp.maximum(eps / scale_factor, eps_final)
+        return assign_row, assign_col, prices, eps, rounds, done
+
+    init = (
+        jnp.full((n,), -1, jnp.int32),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.zeros((n,), jnp.float32),
+        eps0,
+        jnp.int32(0),
+        jnp.bool_(False),
+    )
+    assign_row, assign_col, *_ = jax.lax.while_loop(scaling_cond, scaling_body, init)
+
+    # Safety-valve completion: pair leftover rows with leftover columns by rank.
+    row_free = assign_row < 0
+    col_free = assign_col < 0
+    row_rank = jnp.cumsum(row_free.astype(jnp.int32)) - 1  # rank among free rows
+    # free_cols[r] = index of the r-th free column
+    col_order = jnp.argsort(jnp.where(col_free, rows_iota, n + rows_iota))
+    fallback = col_order[jnp.clip(row_rank, 0, n - 1)]
+    return jnp.where(row_free, fallback, assign_row).astype(jnp.int32)
+
+
+def greedy_assignment(cost: Array) -> Array:
+    """Nearest-free-pair greedy assignment: n rounds of masked global argmin."""
+    n = cost.shape[0]
+    if n == 1:
+        return jnp.zeros((1,), jnp.int32)
+    INF = jnp.float32(jnp.inf)
+
+    def body(_, state):
+        c, perm = state
+        flat_idx = jnp.argmin(c.reshape(-1))
+        i, j = flat_idx // n, flat_idx % n
+        perm = perm.at[i].set(j.astype(jnp.int32))
+        c = c.at[i, :].set(INF).at[:, j].set(INF)
+        return c, perm
+
+    _, perm = jax.lax.fori_loop(
+        0, n, body, (cost.astype(jnp.float32), jnp.zeros((n,), jnp.int32))
+    )
+    return perm
+
+
+# ---------------------------------------------------------------- couplings
+
+
+@struct.dataclass
+class IndependentCoupling(BaseCoupling):
+    """Identity pairing (reference ``independent.py:12-42``)."""
+
+    def couple(self, x0, x1=None, *, key=None, **kwargs) -> CouplingResult:
+        x1 = self._require_x1(x1)
+        self._check_batch(x0, x1)
+        return CouplingResult(jax.lax.stop_gradient(x0), jax.lax.stop_gradient(x1))
+
+
+@struct.dataclass
+class ExactOTCoupling(BaseCostCoupling):
+    """Exact minibatch OT via the auction algorithm (reference ``ot.py:218-253``).
+
+    Deterministic permutation of the target batch; prefer
+    :class:`SinkhornCoupling` inside training loops (same guidance as the
+    reference).
+    """
+
+    tol: float = struct.field(pytree_node=False, default=1e-4)
+
+    def _solve(self, cost, key=None):
+        return auction_assignment(cost, tol=self.tol)
+
+
+@struct.dataclass
+class SinkhornCoupling(BaseCostCoupling):
+    """Entropic OT: log-Sinkhorn plan + row-conditional draw (reference ``ot.py:256-296``)."""
+
+    reg: float = struct.field(pytree_node=False, default=0.05)
+    n_iters: int = struct.field(pytree_node=False, default=100)
+
+    def __post_init__(self):
+        if self.reg <= 0:
+            raise ValueError(f"reg must be positive, got {self.reg}")
+        if self.n_iters <= 0:
+            raise ValueError(f"n_iters must be positive, got {self.n_iters}")
+
+    def _solve(self, cost, key=None):
+        if key is None:
+            raise ValueError("SinkhornCoupling draws row-conditionally; a PRNG key is required.")
+        log_plan = sinkhorn_log(cost, reg=self.reg, n_iters=self.n_iters)
+        return jax.random.categorical(key, log_plan, axis=1)
+
+
+@struct.dataclass
+class UnbalancedSinkhornCoupling(BaseCostCoupling):
+    """KL-relaxed Sinkhorn with per-pair importance weights (reference ``ot.py:299-368``)."""
+
+    reg: float = struct.field(pytree_node=False, default=0.05)
+    reg_marginal: float = struct.field(pytree_node=False, default=1.0)
+    n_iters: int = struct.field(pytree_node=False, default=100)
+
+    def __post_init__(self):
+        if self.reg <= 0:
+            raise ValueError(f"reg must be positive, got {self.reg}")
+        if self.reg_marginal <= 0:
+            raise ValueError(f"reg_marginal must be positive, got {self.reg_marginal}")
+        if self.n_iters <= 0:
+            raise ValueError(f"n_iters must be positive, got {self.n_iters}")
+
+    def couple(self, x0, x1=None, *, key=None, **kwargs) -> CouplingResult:
+        x1 = self._require_x1(x1)
+        self._check_batch(x0, x1)
+        if x0.shape[0] == 1:
+            return CouplingResult(jax.lax.stop_gradient(x0), jax.lax.stop_gradient(x1))
+        if key is None:
+            raise ValueError("UnbalancedSinkhornCoupling requires a PRNG key.")
+        cost = self.compute_cost(x0, x1, **kwargs)
+        log_plan = unbalanced_sinkhorn_log(
+            cost, reg=self.reg, reg_marginal=self.reg_marginal, n_iters=self.n_iters
+        )
+        mass = jnp.exp(jax.scipy.special.logsumexp(log_plan, axis=1))
+        weights = mass / jnp.maximum(jnp.mean(mass), 1e-12)
+        idx = jax.random.categorical(key, log_plan, axis=1)
+        return CouplingResult(
+            jax.lax.stop_gradient(x0),
+            jax.lax.stop_gradient(x1[idx]),
+            weights=jax.lax.stop_gradient(weights),
+        )
+
+    def _solve(self, cost, key=None):  # pragma: no cover
+        raise NotImplementedError(
+            "UnbalancedSinkhornCoupling overrides couple() to attach weights"
+        )
+
+
+@struct.dataclass
+class GreedyCoupling(BaseCostCoupling):
+    """Greedy nearest-free-pair coupling (reference ``ot.py:371-394``)."""
+
+    def _solve(self, cost, key=None):
+        return greedy_assignment(cost)
+
+
+@struct.dataclass
+class ReflowCoupling(BaseModelCoupling):
+    r"""Model-induced coupling :math:`x_1 = \Phi(x_0)` for rectified-flow reflow
+    (reference ``model_induced.py:26-78``).
+
+    ``model`` may be a sampler-like object with ``.sample(key, x=x0, ...)``
+    (e.g. :class:`~torchebm_tpu.samplers.FlowSampler`) or a bare callable
+    ``phi(x0)`` / ``phi(key, x0)``. Instance-only — not string-registrable,
+    same as the reference.
+    """
+
+    model: object = struct.field(pytree_node=True, default=None)
+    sample_kwargs: dict = struct.field(pytree_node=False, default_factory=dict)
+
+    def _generate(self, x0, key=None, **kwargs):
+        m = self.model
+        if hasattr(m, "sample"):
+            return m.sample(key, x=x0, **dict(self.sample_kwargs, **kwargs))
+        try:
+            return m(key, x0, **kwargs)
+        except TypeError:
+            return m(x0, **kwargs)
