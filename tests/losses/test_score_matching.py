@@ -1,0 +1,175 @@
+"""Score-matching family tests: analytic values, consistency, training signal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from torchebm_tpu.core import GaussianEnergy
+from torchebm_tpu.losses import (
+    DenoisingScoreMatching,
+    ScoreMatching,
+    SlicedScoreMatching,
+)
+
+
+def test_exact_sm_matched_model_analytic(key):
+    r"""For x ~ N(0, I_d) and the matched Gaussian energy:
+    loss = E[½‖x‖²] − d = d/2 − d = −d/2."""
+    g = GaussianEnergy.standard(3)
+    x = jax.random.normal(key, (8192, 3))
+    loss = ScoreMatching(model=g, hessian_method="exact")(None, x, key)
+    np.testing.assert_allclose(float(loss), -1.5, atol=0.1)
+
+
+def test_exact_sm_minimized_at_true_scale(key):
+    r"""SM loss over scale family E_s(x) = ½‖x‖²/s² should be minimal at s=1 for N(0,I) data."""
+    x = jax.random.normal(key, (4096, 2))
+
+    def loss_at(s):
+        g = GaussianEnergy.create(jnp.zeros(2), s**2 * jnp.eye(2))
+        return float(ScoreMatching(model=g, hessian_method="exact")(None, x, key))
+
+    assert loss_at(1.0) < loss_at(0.6)
+    assert loss_at(1.0) < loss_at(1.8)
+
+
+def test_exact_sm_rejects_conditioning(key):
+    g = GaussianEnergy.standard(2)
+    with pytest.raises(NotImplementedError):
+        ScoreMatching(model=g)(None, jnp.zeros((4, 2)), key, model_kwargs={"y": jnp.zeros(4)})
+
+
+def test_approx_sm_close_to_exact(key):
+    g = GaussianEnergy.create(jnp.zeros(2), 2.0 * jnp.eye(2))
+    x = jax.random.normal(key, (2048, 2))
+    exact = float(ScoreMatching(model=g, hessian_method="exact")(None, x, key))
+    approx = float(ScoreMatching(model=g, hessian_method="approx")(None, x, key))
+    # the approx path divides the trace term by d (reference semantics,
+    # score_matching.py:233-238), so compare after undoing that factor on the
+    # trace component is impractical; instead check both are finite and the
+    # quadratic term dominates similarly in sign behavior
+    assert np.isfinite(approx) and np.isfinite(exact)
+
+
+def test_hessian_method_validation():
+    with pytest.raises(ValueError):
+        ScoreMatching(model=GaussianEnergy.standard(2), hessian_method="magic")
+
+
+def test_dsm_analytic_optimum(key):
+    r"""DSM regresses ∇E onto −noise/σ² (the reference's sign convention,
+    ``score_matching.py:359-370`` + ``base_loss.py:640-681``): the minimizer
+    is ∇E(x̃) = −x̃/(1+σ²) for N(0,I) data. Check the closed-form optimum
+    beats Gaussian-family alternatives."""
+    from torchebm_tpu.core import as_energy
+
+    x = jax.random.normal(key, (4096, 2))
+    sigma = 0.5
+    k_loss = jax.random.fold_in(key, 1)  # independent of the data draw
+
+    def loss_of(model):
+        return float(DenoisingScoreMatching(model=model, noise_scale=sigma)(None, x, k_loss))
+
+    opt = as_energy(lambda xx: -0.5 * jnp.sum(xx**2, -1) / (1 + sigma**2))
+    l_opt = loss_of(opt)
+    for s_sq in (0.5, 1.0, 1 + sigma**2, 3.0):
+        l_g = loss_of(GaussianEnergy.create(jnp.zeros(2), s_sq * jnp.eye(2)))
+        assert l_opt < l_g, (l_opt, s_sq, l_g)
+    # slightly off-optimal negated energies are also worse
+    for c in (0.5, 2.0):
+        near = as_energy(lambda xx, c=c: -0.5 * c * jnp.sum(xx**2, -1) / (1 + sigma**2))
+        assert l_opt <= loss_of(near) + 1e-4
+
+
+def test_dsm_trains(mlp_energy, gauss_data, key):
+    energy, params = mlp_energy
+    dsm = DenoisingScoreMatching(model=energy, noise_scale=0.3)
+    opt = optax.adam(1e-2)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, x, k):
+        l, g = jax.value_and_grad(lambda pp: dsm(pp, x, k))(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    p = params
+    losses = []
+    for i in range(50):
+        k = jax.random.fold_in(key, i)
+        p, state, l = step(p, state, gauss_data(k), jax.random.fold_in(k, 1))
+        losses.append(float(l))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_dsm_conditional_capable(mlp_energy, key):
+    """DSM forwards model_kwargs (conditioning) without error."""
+    import flax.linen as nn
+
+    class CondEnergy(nn.Module):
+        @nn.compact
+        def __call__(self, x, y):
+            h = jnp.concatenate([x, y[:, None].astype(x.dtype)], -1)
+            return nn.Dense(1)(nn.tanh(nn.Dense(16)(h))).squeeze(-1)
+
+    from torchebm_tpu.core import WrappedEnergy
+
+    m = CondEnergy()
+    x = jax.random.normal(key, (8, 2))
+    y = jnp.zeros((8,), jnp.int32)
+    params = m.init(key, x, y)
+    e = WrappedEnergy(fn=m.apply, params=params)
+    loss = DenoisingScoreMatching(model=e, noise_scale=0.1)(
+        params, x, key, model_kwargs={"y": y}
+    )
+    assert jnp.isfinite(loss)
+
+
+@pytest.mark.parametrize("ptype", ["rademacher", "sphere", "gaussian"])
+def test_ssm_projection_types(ptype, key):
+    g = GaussianEnergy.standard(2)
+    x = jax.random.normal(key, (256, 2))
+    loss = SlicedScoreMatching(model=g, n_projections=8, projection_type=ptype)(None, x, key)
+    assert jnp.isfinite(loss)
+
+
+def test_ssm_approximates_exact_sm(key):
+    """With many projections SSM converges to the exact SM objective."""
+    g = GaussianEnergy.standard(2)
+    x = jax.random.normal(key, (2048, 2))
+    exact = float(ScoreMatching(model=g, hessian_method="exact")(None, x, key))
+    sliced = float(SlicedScoreMatching(model=g, n_projections=64, projection_type="gaussian")(None, x, key))
+    # SSM's E[(v^T s)^2] term has expectation ‖s‖² + 2Σ_{i<j}... for gaussian v
+    # it is an unbiased estimator of s^T(I + 2e e^T)s? No — for v~N(0,I):
+    # E[(v^T s)^2] = ‖s‖², E[v^T H v] = tr H. So SSM → exact SM in expectation.
+    assert abs(sliced - exact) < 0.5, (sliced, exact)
+
+
+def test_ssm_rejects_conditioning(key):
+    g = GaussianEnergy.standard(2)
+    with pytest.raises(NotImplementedError):
+        SlicedScoreMatching(model=g)(None, jnp.zeros((4, 2)), key, model_kwargs={"y": jnp.zeros(4)})
+
+
+def test_ssm_projection_validation():
+    with pytest.raises(ValueError):
+        SlicedScoreMatching(model=GaussianEnergy.standard(2), projection_type="fourier")
+
+
+def test_regularization_strength(key):
+    g = GaussianEnergy.standard(2)
+    x = 5.0 * jnp.ones((16, 2))  # large scores
+    plain = DenoisingScoreMatching(model=g, noise_scale=0.5)
+    reg = DenoisingScoreMatching(model=g, noise_scale=0.5, regularization_strength=1.0)
+    assert float(reg(None, x, key)) > float(plain(None, x, key))
+
+
+def test_custom_regularization(key):
+    g = GaussianEnergy.standard(2)
+    x = jnp.ones((4, 2))
+    custom = lambda loss, model, xx: loss + 42.0
+    a = DenoisingScoreMatching(model=g, noise_scale=0.5)(None, x, key)
+    b = DenoisingScoreMatching(model=g, noise_scale=0.5, custom_regularization=custom)(None, x, key)
+    np.testing.assert_allclose(float(b - a), 42.0, rtol=1e-5)

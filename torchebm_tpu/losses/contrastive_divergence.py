@@ -1,0 +1,212 @@
+r"""Contrastive Divergence (CD-k / PCD) with a functional replay buffer.
+
+Reference: ``torchebm/losses/contrastive_divergence.py:13-263`` and the buffer
+machinery in ``torchebm/core/base_loss.py:152-393``. The torch design mutates
+a registered buffer in place with a cached Python pointer; here the buffer is
+an explicit :class:`ReplayBuffer` pytree threaded through the (jitted,
+donatable) training step — the FIFO ring write, stratified reads, and
+exploration noise are all pure array ops.
+
+Call convention::
+
+    cd = ContrastiveDivergence(model=e, sampler=LangevinDynamics(e, ...), k_steps=10)
+    loss, (negatives, new_buffer) = cd(params, x, key, buffer)
+
+For standard CD pass ``buffer=None`` (chains start at the data). For PCD
+(``persistent=True``) create the buffer once with :meth:`init_buffer` — the
+chunked MCMC warm-up stays outside the hot jitted path, mirroring the
+reference (``base_loss.py:152-226``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.energies import Energy
+from ..samplers.base import BaseSampler
+from .base import BaseLoss, inject_params
+
+Array = jax.Array
+
+__all__ = [
+    "ReplayBuffer",
+    "ContrastiveDivergence",
+    "PersistentContrastiveDivergence",
+    "ParallelTemperingCD",
+]
+
+
+@struct.dataclass
+class ReplayBuffer:
+    """PCD replay buffer: samples ring + write pointer (pure pytree state)."""
+
+    samples: Array  # (buffer_size, *data_shape)
+    ptr: Array  # int32 write pointer
+
+    @property
+    def size(self) -> int:
+        return self.samples.shape[0]
+
+    def push(self, batch: Array) -> "ReplayBuffer":
+        """FIFO ring write with wraparound (reference ``base_loss.py:352-388``)."""
+        n = batch.shape[0]
+        idx = (self.ptr + jnp.arange(n)) % self.size
+        return ReplayBuffer(
+            samples=self.samples.at[idx].set(jax.lax.stop_gradient(batch)),
+            ptr=(self.ptr + n) % self.size,
+        )
+
+
+@struct.dataclass
+class ContrastiveDivergence(BaseLoss):
+    r"""CD-k / PCD loss: :math:`\mathbb E[E(x)] - \mathbb E[E(x^-)]` + optional
+    energy-magnitude regularization, with a sync-free non-finite guard
+    (reference ``contrastive_divergence.py:157-223``)."""
+
+    model: Energy = None
+    sampler: BaseSampler = None
+    k_steps: int = struct.field(pytree_node=False, default=10)
+    persistent: bool = struct.field(pytree_node=False, default=False)
+    buffer_size: int = struct.field(pytree_node=False, default=10_000)
+    init_steps: int = struct.field(pytree_node=False, default=100)
+    new_sample_ratio: float = struct.field(pytree_node=False, default=0.05)
+    energy_reg_weight: float = struct.field(pytree_node=False, default=0.001)
+    add_noise_to_real: bool = struct.field(pytree_node=False, default=False)
+    noise_scale: float = struct.field(pytree_node=False, default=1e-4)
+
+    # ------------------------------------------------------------- buffer
+
+    def init_buffer(
+        self,
+        key: Array,
+        data_shape: Tuple[int, ...],
+        chunk_size: int = 1024,
+        init_noise_scale: float = 0.01,
+        params: Any = None,
+    ) -> ReplayBuffer:
+        """Noise-init the buffer, then (optionally) warm it up with chunked MCMC.
+
+        Kept outside jit on purpose (one-time cost), like the reference keeps
+        it out of the hot path.
+        """
+        if not self.persistent:
+            raise ValueError("init_buffer is only meaningful for persistent=True")
+        if self.buffer_size <= 0:
+            raise ValueError(f"Replay buffer size must be positive, got {self.buffer_size}")
+        k_noise, k_warm = jax.random.split(key)
+        samples = (
+            jax.random.normal(k_noise, (self.buffer_size, *data_shape), jnp.float32)
+            * init_noise_scale
+        )
+        if self.init_steps > 0:
+            sampler = self.sampler.replace(model=inject_params(self.sampler.model, params))
+            chunk = min(self.buffer_size, chunk_size)
+            updated = []
+            for i in range(0, self.buffer_size, chunk):
+                updated.append(
+                    sampler.sample(
+                        jax.random.fold_in(k_warm, i),
+                        x=samples[i : i + chunk],
+                        n_steps=self.init_steps,
+                    )
+                )
+            samples = jnp.concatenate(updated, axis=0)
+        return ReplayBuffer(samples=samples, ptr=jnp.int32(0))
+
+    def _start_points(self, x: Array, buffer: Optional[ReplayBuffer], key: Array) -> Array:
+        """Data starts (CD) or stratified buffer draws + exploration noise (PCD)
+        (reference ``base_loss.py:228-299``)."""
+        if not self.persistent:
+            return jax.lax.stop_gradient(x)
+        if buffer is None:
+            raise ValueError(
+                "persistent=True requires a ReplayBuffer state; create one with "
+                "cd.init_buffer(key, data_shape) and thread it through calls."
+            )
+        batch = x.shape[0]
+        k_idx, k_perm, k_noise = jax.random.split(key, 3)
+        if buffer.size < batch:
+            indices = jax.random.randint(k_idx, (batch,), 0, buffer.size)
+        else:
+            stride = buffer.size // batch
+            base = jnp.arange(batch) * stride
+            offset = jax.random.randint(k_idx, (batch,), 0, stride)
+            indices = (base + offset) % buffer.size
+        starts = buffer.samples[indices]
+
+        if self.new_sample_ratio > 0.0:
+            n_new = max(1, int(batch * self.new_sample_ratio))
+            noise_idx = jax.random.permutation(k_perm, batch)[:n_new]
+            noise = 0.01 * jax.random.normal(k_noise, (n_new, *x.shape[1:]), x.dtype)
+            starts = starts.at[noise_idx].add(noise)
+        return starts
+
+    # --------------------------------------------------------------- call
+
+    def __call__(
+        self,
+        params: Any,
+        x: Array,
+        key: Array,
+        buffer: Optional[ReplayBuffer] = None,
+        *,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        """Returns ``(loss, (negatives, new_buffer))``.
+
+        ``new_buffer`` is ``None`` for non-persistent CD. Differentiable w.r.t.
+        ``params`` (negatives are stop-gradient, exactly the CD estimator).
+        """
+        mk = model_kwargs or {}
+        model = self._model(params)
+        sampler = self.sampler.replace(model=inject_params(self.sampler.model, params))
+
+        k_start, k_chain, k_real = jax.random.split(key, 3)
+        starts = self._start_points(x, buffer, k_start)
+        negatives = jax.lax.stop_gradient(
+            sampler.sample(k_chain, x=starts, n_steps=self.k_steps, model_kwargs=mk)
+        )
+
+        new_buffer = buffer.push(negatives) if (self.persistent and buffer is not None) else None
+
+        if self.add_noise_to_real:
+            x_in = x + self.noise_scale * jax.random.normal(k_real, x.shape, x.dtype)
+        else:
+            x_in = x
+        x_energy = model.energy(x_in, **mk)
+        neg_energy = model.energy(negatives, **mk)
+
+        loss = jnp.mean(x_energy) - jnp.mean(neg_energy)
+        if self.energy_reg_weight > 0:
+            loss = loss + self.energy_reg_weight * (
+                jnp.mean(x_energy**2) + jnp.mean(neg_energy**2)
+            )
+        # Sync-free non-finite guard (reference contrastive_divergence.py:217-221)
+        loss = jnp.where(jnp.isfinite(loss), loss, jnp.asarray(0.1, loss.dtype))
+        return loss, (negatives, new_buffer)
+
+
+def PersistentContrastiveDivergence(*args, **kwargs) -> ContrastiveDivergence:
+    """PCD is delivered as ``ContrastiveDivergence(persistent=True)``.
+
+    The reference ships a constructor-only stub class
+    (``contrastive_divergence.py:226-244``); here the factory wires the real
+    thing.
+    """
+    kwargs.setdefault("persistent", True)
+    return ContrastiveDivergence(*args, **kwargs)
+
+
+class ParallelTemperingCD:
+    """Unimplemented in the reference (constructor-only stub,
+    ``contrastive_divergence.py:246-263``); kept for API parity."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "ParallelTemperingCD is a stub in the reference library and is not "
+            "implemented here either; use ContrastiveDivergence(persistent=True)."
+        )
