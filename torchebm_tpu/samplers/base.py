@@ -147,11 +147,20 @@ class BaseSampler:
     def extra_diagnostics(self, carry, model_kwargs) -> Dict[str, Array]:
         return {}
 
-    def energy_of(self, x: Array, model_kwargs) -> Array:
-        return self.model.energy(x, **(model_kwargs or {}))
+    def _step_kwargs(self, model_kwargs, step):
+        """Thread the step index to step-aware energies (``wants_step`` models,
+        e.g. InteractionModel with a scheduled strength — the stateless analogue
+        of the reference advancing Schedulables inside the sampler subtree)."""
+        mk = dict(model_kwargs or {})
+        if step is not None and getattr(self.model, "wants_step", False):
+            mk["step"] = step
+        return mk
 
-    def gradient_of(self, x: Array, model_kwargs) -> Array:
-        return self.model.gradient(x, **(model_kwargs or {}))
+    def energy_of(self, x: Array, model_kwargs, step=None) -> Array:
+        return self.model.energy(x, **self._step_kwargs(model_kwargs, step))
+
+    def gradient_of(self, x: Array, model_kwargs, step=None) -> Array:
+        return self.model.gradient(x, **self._step_kwargs(model_kwargs, step))
 
     # ------------------------------------------------------------------ API
     def _init_state(

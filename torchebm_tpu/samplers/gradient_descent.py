@@ -32,7 +32,7 @@ class GradientDescentSampler(BaseSampler):
         del key
         eta = sched_value(self.step_size, i)
         x = carry["x"]
-        return {"x": x - eta * self.gradient_of(x, model_kwargs)}
+        return {"x": x - eta * self.gradient_of(x, model_kwargs, step=i)}
 
 
 @struct.dataclass
@@ -60,6 +60,6 @@ class NesterovSampler(BaseSampler):
         eta = sched_value(self.step_size, i)
         x, v = carry["x"], carry["v"]
         lookahead = x + self.momentum * v
-        grad = self.gradient_of(lookahead, model_kwargs)
+        grad = self.gradient_of(lookahead, model_kwargs, step=i)
         v = self.momentum * v - eta * grad
         return {"x": x + v, "v": v}

@@ -53,7 +53,7 @@ class LangevinDynamics(BaseSampler):
         out = self.integrator.step(
             {"x": x},
             sched_value(self.step_size, i),
-            drift=lambda x_, t_: -self.gradient_of(x_, model_kwargs),
+            drift=lambda x_, t_: -self.gradient_of(x_, model_kwargs, step=i),
             key=key,
             noise_scale=sched_value(self.noise_scale, i),
         )
