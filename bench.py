@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Headline benchmark: Langevin chain-update throughput per chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config 1): LangevinDynamics on the 2D 8-gaussians
+mixture energy, 10,000 parallel chains, 1,000 steps, compiled to a single XLA
+program (lax.scan). "value" is chain-updates/second = chains x steps / median
+wall time with device fencing.
+
+vs_baseline divides by TORCHEBM_CUDA_BASELINE = 1.5e8 updates/s — a documented
+estimate of the reference's eager CUDA Langevin path on a modern GPU: the
+reference itself states one eager step costs ~6 kernel launches + 1 alloc
+(torchebm/cuda/fused_langevin.py:9-16); at ~8-10 launches including the
+autograd energy gradient and ~8 us/launch that is ~65-80 us/step for any batch
+that fits, i.e. ~1.3-1.7e8 updates/s at 10k chains. (Measured floor: the
+reference on this host's CPU torch reaches 0.9-1.4e7 updates/s.) The BASELINE
+target of >=10x TorchEBM-CUDA therefore corresponds to vs_baseline >= 10.
+"""
+
+import json
+import statistics
+import sys
+import time
+
+TORCHEBM_CUDA_BASELINE = 1.5e8  # updates/s; derivation in module docstring
+
+N_CHAINS = 10_000
+N_STEPS = 1_000
+ITERS = 5
+
+
+def main() -> None:
+    import jax
+
+    from torchebm_tpu.core import GaussianMixtureEnergy
+    from torchebm_tpu.samplers import LangevinDynamics
+
+    key = jax.random.PRNGKey(0)
+    mix = GaussianMixtureEnergy.eight_gaussians()
+    sampler = LangevinDynamics(mix, step_size=0.05)
+
+    # compile + warmup
+    out = sampler.sample(key, dim=2, n_samples=N_CHAINS, n_steps=N_STEPS)
+    out.block_until_ready()
+
+    times = []
+    for i in range(ITERS):
+        k = jax.random.fold_in(key, i)
+        t0 = time.perf_counter()
+        out = sampler.sample(k, dim=2, n_samples=N_CHAINS, n_steps=N_STEPS)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    # sanity: the chains actually sample the ring of modes
+    import jax.numpy as jnp
+
+    radius = float(jnp.mean(jnp.linalg.norm(out, axis=-1)))
+    if not 3.0 < radius < 5.0:
+        print(
+            json.dumps({"error": f"sampler off-distribution: mean radius {radius}"}),
+            file=sys.stderr,
+        )
+
+    value = N_CHAINS * N_STEPS / statistics.median(times)
+    print(
+        json.dumps(
+            {
+                "metric": "langevin_updates_per_sec_per_chip_8gaussians_10k_chains",
+                "value": value,
+                "unit": "chain-updates/s",
+                "vs_baseline": value / TORCHEBM_CUDA_BASELINE,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -60,6 +60,11 @@ def __getattr__(name):
     import importlib
 
     _FORWARDS = {
+        # trainer lives in its own module (reference keeps it unexported from
+        # core/__init__, base_trainer.py; we forward lazily for convenience)
+        "BaseTrainer": "torchebm_tpu.core.trainer",
+        "ContrastiveDivergenceTrainer": "torchebm_tpu.core.trainer",
+        "TrainState": "torchebm_tpu.core.trainer",
         "BaseIntegrator": "torchebm_tpu.integrators",
         "BaseRungeKuttaIntegrator": "torchebm_tpu.integrators",
         "BaseSDERungeKuttaIntegrator": "torchebm_tpu.integrators",

@@ -1,0 +1,237 @@
+r"""Generic training loop + CD trainer.
+
+Reference: ``torchebm/core/base_trainer.py:18-466``. TPU-native re-design:
+
+- The mutable trainer state (params, optimizer state, EMA, step, loss state
+  like the PCD replay buffer, PRNG key) is one explicit :class:`TrainState`
+  pytree; the jitted ``train_step`` is a pure function ``(state, batch) ->
+  (state, metrics)`` with the state donated — the functional analogue of the
+  reference's ``optimizer.step()`` mutation.
+- Gradient accumulation uses ``optax.MultiSteps`` (the reference hand-rolls
+  ``loss/accum`` scaling, ``base_trainer.py:150-197``); AMP GradScaler has no
+  analogue — bf16 on TPU needs no loss scaling.
+- Metrics stay device-resident per step and are reduced once per epoch
+  (reference: "no ``.item()`` in the step", ``base_trainer.py:196-241``).
+- Callback hooks mirror the reference: ``on_train_start/end``,
+  ``on_epoch_start/end``, ``on_batch_start/end``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses.base import BaseLoss
+from ..losses.contrastive_divergence import ContrastiveDivergence, ReplayBuffer
+from ..utils.training import update_ema
+
+Array = jax.Array
+
+__all__ = ["TrainState", "BaseTrainer", "ContrastiveDivergenceTrainer"]
+
+
+@struct.dataclass
+class TrainState:
+    """Everything a training run needs to resume, as one pytree."""
+
+    params: Any
+    opt_state: Any
+    step: Array  # int32
+    key: Array
+    ema_params: Any = None
+    loss_state: Any = None  # e.g. PCD ReplayBuffer
+
+
+def _split_batch(batch) -> Tuple[Array, Dict[str, Any]]:
+    """Accepts ``x`` / ``(x, cond_dict)`` / ``{"data": x, ...cond}`` batches
+    (reference ``base_trainer.py:115-148``)."""
+    if isinstance(batch, dict):
+        if "data" not in batch:
+            raise ValueError("Dict batches must contain a 'data' key.")
+        cond = {k: v for k, v in batch.items() if k != "data"}
+        return batch["data"], cond
+    if isinstance(batch, (tuple, list)):
+        if len(batch) != 2 or not isinstance(batch[1], dict):
+            raise ValueError("Tuple batches must be (data, cond_dict).")
+        return batch[0], dict(batch[1])
+    return batch, {}
+
+
+class BaseTrainer:
+    """Generic loop around a ``loss(params, x, key, [state], model_kwargs=...)``.
+
+    Args:
+        loss_fn: A :class:`~torchebm_tpu.losses.base.BaseLoss` (stateful losses
+            like PCD return ``(loss, (aux, new_state))``) or any callable with
+            the same signature.
+        optimizer: An optax ``GradientTransformation``.
+        ema_decay: Enable an EMA copy of the params when set.
+        grad_accum_steps: Wraps the optimizer in ``optax.MultiSteps``.
+        callbacks: Objects with any of ``on_{train,epoch,batch}_{start,end}``.
+    """
+
+    def __init__(
+        self,
+        loss_fn: Any,
+        optimizer: optax.GradientTransformation,
+        *,
+        ema_decay: Optional[float] = None,
+        grad_accum_steps: int = 1,
+        callbacks: Iterable[Any] = (),
+        stateful_loss: Optional[bool] = None,
+    ):
+        if grad_accum_steps < 1:
+            raise ValueError("grad_accum_steps must be >= 1")
+        self.loss_fn = loss_fn
+        if grad_accum_steps > 1:
+            optimizer = optax.MultiSteps(optimizer, every_k_schedule=grad_accum_steps)
+        self.optimizer = optimizer
+        self.ema_decay = ema_decay
+        self.callbacks = list(callbacks)
+        if stateful_loss is None:
+            stateful_loss = isinstance(loss_fn, ContrastiveDivergence)
+        self.stateful_loss = stateful_loss
+        self._jitted_step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, params: Any, key: Array, loss_state: Any = None) -> TrainState:
+        # Copy all inputs: train_step donates the state, and donating buffers
+        # that alias arrays the caller still holds would delete them under the
+        # caller's feet.
+        copy = lambda tree: jax.tree_util.tree_map(jnp.array, tree)
+        params = copy(params)
+        return TrainState(
+            params=params,
+            opt_state=self.optimizer.init(params),
+            step=jnp.int32(0),
+            key=jnp.array(key),
+            ema_params=copy(params) if self.ema_decay is not None else None,
+            loss_state=copy(loss_state) if loss_state is not None else None,
+        )
+
+    def compute_metrics(self, loss: Array, aux: Any, params: Any, x: Array, mk) -> Dict[str, Array]:
+        return {"loss": loss}
+
+    def _train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
+        x, mk = _split_batch(batch)
+        key, sub = jax.random.split(state.key)
+
+        if self.stateful_loss:
+            def lossf(p):
+                loss, (aux, new_ls) = self.loss_fn(p, x, sub, state.loss_state, model_kwargs=mk)
+                return loss, (aux, new_ls)
+
+            (loss, (aux, new_loss_state)), grads = jax.value_and_grad(lossf, has_aux=True)(state.params)
+        else:
+            def lossf(p):
+                return self.loss_fn(p, x, sub, model_kwargs=mk)
+
+            loss, grads = jax.value_and_grad(lossf)(state.params)
+            aux, new_loss_state = None, state.loss_state
+
+        updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = (
+            update_ema(state.ema_params, params, self.ema_decay)
+            if self.ema_decay is not None
+            else None
+        )
+        metrics = self.compute_metrics(loss, aux, params, x, mk)
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            key=key,
+            ema_params=ema,
+            loss_state=new_loss_state,
+        )
+        return new_state, metrics
+
+    def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
+        """One jitted, state-donating optimization step."""
+        return self._jitted_step(state, batch)
+
+    # ------------------------------------------------------------------
+
+    def _fire(self, hook: str, *args):
+        for cb in self.callbacks:
+            fn = getattr(cb, hook, None)
+            if fn is not None:
+                fn(self, *args)
+
+    def train_epoch(self, state: TrainState, batches: Iterable[Any]) -> Tuple[TrainState, Dict[str, float]]:
+        """One pass over ``batches``; returns host-side mean metrics (one sync)."""
+        self._fire("on_epoch_start", state)
+        accum: Dict[str, list] = {}
+        for batch in batches:
+            self._fire("on_batch_start", state, batch)
+            state, metrics = self.train_step(state, batch)
+            for k, v in metrics.items():
+                accum.setdefault(k, []).append(v)
+            self._fire("on_batch_end", state, metrics)
+        # single host transfer per epoch (reference keeps metrics device-resident)
+        reduced = {
+            k: float(jnp.mean(jnp.stack(v))) for k, v in accum.items() if v
+        }
+        self._fire("on_epoch_end", state, reduced)
+        return state, reduced
+
+    def train(
+        self,
+        state: TrainState,
+        epochs: int,
+        batch_iter_fn: Callable[[int], Iterable[Any]],
+    ) -> Tuple[TrainState, list]:
+        """Multi-epoch driver: ``batch_iter_fn(epoch)`` yields an epoch's batches."""
+        self._fire("on_train_start", state)
+        history = []
+        for epoch in range(epochs):
+            state, metrics = self.train_epoch(state, batch_iter_fn(epoch))
+            history.append(metrics)
+        self._fire("on_train_end", state, history)
+        return state, history
+
+
+class ContrastiveDivergenceTrainer(BaseTrainer):
+    """CD/PCD convenience trainer (reference ``base_trainer.py:353-466``).
+
+    Builds the optimizer (Adam by default) around a
+    :class:`~torchebm_tpu.losses.ContrastiveDivergence` loss and logs
+    positive/negative energies alongside the loss.
+    """
+
+    def __init__(
+        self,
+        cd_loss: ContrastiveDivergence,
+        learning_rate: float = 1e-3,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        **kwargs,
+    ):
+        super().__init__(
+            cd_loss,
+            optimizer if optimizer is not None else optax.adam(learning_rate),
+            stateful_loss=True,
+            **kwargs,
+        )
+
+    def init_state(self, params, key, loss_state=None) -> TrainState:
+        if loss_state is None and self.loss_fn.persistent:
+            raise ValueError(
+                "Persistent CD needs a ReplayBuffer: pass "
+                "loss_state=cd.init_buffer(key, data_shape)."
+            )
+        return super().init_state(params, key, loss_state)
+
+    def compute_metrics(self, loss, aux, params, x, mk):
+        negatives = aux
+        model = self.loss_fn._model(params)
+        return {
+            "loss": loss,
+            "pos_energy": jnp.mean(model.energy(x, **(mk or {}))),
+            "neg_energy": jnp.mean(model.energy(negatives, **(mk or {}))),
+        }

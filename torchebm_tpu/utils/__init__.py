@@ -1,0 +1,21 @@
+"""Training + profiling utilities (reference ``torchebm/utils/__init__.py:10-16``)."""
+
+from .profiling import benchmark_fn, profile_context, record_function
+from .training import (
+    freeze_mask,
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+    update_ema,
+)
+
+__all__ = [
+    "update_ema",
+    "freeze_mask",
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint_step",
+    "profile_context",
+    "record_function",
+    "benchmark_fn",
+]
