@@ -1,0 +1,383 @@
+r"""Pallas TPU kernels: fused Langevin update and whole-chain samplers.
+
+The TPU-native equivalent of the reference's Triton proof-of-concept layer
+(``torchebm/cuda/fused_langevin.py``, the only kernel-level code in the
+reference):
+
+- :func:`fused_langevin_step` — model-agnostic one-step fusion
+  (reference ``:34-62``): load x, g → in-kernel PRNG → ``x - η·g +
+  noise_scale·√(2η)·ε`` → optional clamp → store, in one kernel. An explicit
+  ``noise=`` path exists for exact-parity tests, like the reference.
+- :func:`doublewell_langevin_chain` — the model-specific ceiling
+  (reference ``:65-88``): an entire n-step chain resident in VMEM in ONE
+  kernel launch, analytic :math:`\nabla E = 4h x(x^2-b^2)` inline.
+- :func:`mixture_langevin_chain` — build addition: the same whole-chain form
+  for isotropic Gaussian-mixture energies (the 8gaussians benchmark target),
+  with the responsibility-weighted analytic gradient computed in-kernel.
+
+Layout notes (see the TPU tiling constraints): states are processed as
+``(dim, chains)`` blocks so the huge chain axis rides the 128-wide lane
+dimension; the Python wrappers transpose at the boundary. Gaussian noise
+comes from ``pltpu.prng_random_bits`` via Box–Muller.
+
+Run ``python -m torchebm_tpu.ops.fused_langevin`` for the correctness +
+4-way benchmark harness mirroring the reference's self-test (``:183-266``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+__all__ = [
+    "fused_langevin_step",
+    "doublewell_langevin_chain",
+    "mixture_langevin_chain",
+]
+
+_LANE = 128
+_TWO_PI = 2.0 * math.pi
+
+
+def _normal_from_bits(shape) -> Array:
+    """Standard normals via Box–Muller on two draws of uint32 bits."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits -> uniforms in (0, 1]. Mosaic lacks a uint32->f32 cast, so
+    # bitcast the (always-positive, <2^24) shifted value to int32 first.
+    i1 = pltpu.bitcast(b1 >> 8, jnp.int32).astype(jnp.float32)
+    i2 = pltpu.bitcast(b2 >> 8, jnp.int32).astype(jnp.float32)
+    u1 = i1 * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    u2 = i2 * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# fused one-step kernel (model-agnostic)
+# ---------------------------------------------------------------------------
+
+
+def _fused_step_kernel(seed_ref, x_ref, g_ref, out_ref, *, step_size, noise_coef,
+                       clamp_min, clamp_max, use_clamp):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    eps = _normal_from_bits(x_ref.shape)
+    new = x_ref[...] - step_size * g_ref[...] + noise_coef * eps
+    if use_clamp:
+        new = jnp.clip(new, clamp_min, clamp_max)
+    out_ref[...] = new
+
+
+def _fused_step_noise_kernel(x_ref, g_ref, n_ref, out_ref, *, step_size, noise_coef,
+                             clamp_min, clamp_max, use_clamp):
+    new = x_ref[...] - step_size * g_ref[...] + noise_coef * n_ref[...]
+    if use_clamp:
+        new = jnp.clip(new, clamp_min, clamp_max)
+    out_ref[...] = new
+
+
+def fused_langevin_step(
+    x: Array,
+    grad: Array,
+    step_size: float,
+    noise_scale: float = 1.0,
+    *,
+    seed: int = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
+    interpret: bool = False,
+) -> Array:
+    r"""One fused Langevin update ``x - η·g + noise_scale·√(2η)·ε``.
+
+    ``noise=None`` draws ε in-kernel from the TPU PRNG (seeded per grid
+    block); passing explicit ``noise`` reproduces the library's eager update
+    bit-for-bit (the exact-parity testing hook, reference ``:90-138``).
+    """
+    orig_shape = x.shape
+    flat = x.reshape(-1)
+    n = flat.shape[0]
+    rows = _round_up(max(1, n // _LANE + (n % _LANE > 0)), 8)
+    padded = rows * _LANE
+    pad = padded - n
+
+    def prep(a):
+        return jnp.pad(a.reshape(-1), (0, pad)).reshape(rows, _LANE)
+
+    coef = float(noise_scale) * math.sqrt(2.0 * float(step_size))
+    kw = dict(
+        step_size=float(step_size),
+        noise_coef=coef,
+        clamp_min=clamp[0] if clamp else 0.0,
+        clamp_max=clamp[1] if clamp else 0.0,
+        use_clamp=clamp is not None,
+    )
+    if noise is None:
+        out = pl.pallas_call(
+            functools.partial(_fused_step_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((rows, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, _LANE), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), prep(x), prep(grad))
+    else:
+        out = pl.pallas_call(
+            functools.partial(_fused_step_noise_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(prep(x), prep(grad), prep(noise))
+    return out.reshape(-1)[:n].reshape(orig_shape)
+
+
+# ---------------------------------------------------------------------------
+# whole-chain kernels (state stays in VMEM across all steps)
+# ---------------------------------------------------------------------------
+
+
+def _doublewell_chain_kernel(seed_ref, x_ref, out_ref, *, n_steps, step_size,
+                             noise_coef, barrier_height, b):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(_, x):
+        grad = coef * x * (x * x - b2)  # analytic double-well ∇E, inline
+        eps = _normal_from_bits(x.shape)
+        return x - step_size * grad + noise_coef * eps
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def doublewell_langevin_chain(
+    x0: Array,
+    n_steps: int,
+    step_size: float,
+    noise_scale: float = 1.0,
+    *,
+    barrier_height: float = 2.0,
+    b: float = 1.0,
+    seed: int = 0,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> Array:
+    """Full n-step Langevin chain on the double-well energy in ONE kernel.
+
+    Elementwise-separable energy ⇒ the state is treated as a flat vector and
+    blocked over the grid; each block's chain segment never leaves VMEM
+    (reference Triton ceiling, ``fused_langevin.py:65-88``).
+    """
+    orig_shape = x0.shape
+    flat = x0.reshape(-1)
+    n = flat.shape[0]
+    rows = _round_up(max(1, (n + _LANE - 1) // _LANE), 8)
+    padded = rows * _LANE
+    flat = jnp.pad(flat, (0, padded - n)).reshape(rows, _LANE)
+    block_rows = min(block_rows, rows)
+    # grid blocks must tile the rows evenly
+    while rows % block_rows:
+        block_rows //= 2
+    block_rows = max(block_rows, 8) if rows % 8 == 0 else rows
+
+    out = pl.pallas_call(
+        functools.partial(
+            _doublewell_chain_kernel,
+            n_steps=int(n_steps),
+            step_size=float(step_size),
+            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+            barrier_height=float(barrier_height),
+            b=float(b),
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+        grid=(rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), flat)
+    return out.reshape(-1)[:n].reshape(orig_shape)
+
+
+def _mixture_chain_kernel(seed_ref, x_ref, means_ref, logw_ref, out_ref, *,
+                          n_steps, step_size, noise_coef, inv_var, n_components):
+    """Whole-chain Langevin on an isotropic Gaussian mixture.
+
+    State layout: ``(2, block_chains)`` — chains on lanes. The analytic score
+    is the responsibility-weighted pull toward the means, computed with a
+    numerically-stable softmax over the (unrolled) components.
+    """
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]  # (8_pad, K) rows: [mx, my, ...pad]
+    logw = logw_ref[...]  # (8_pad, K) row 0 used
+
+    def body(_, x):
+        # component log-weights: logw_k - ||x - mu_k||^2 / (2 sigma^2)
+        logits = []
+        for k in range(n_components):
+            dx = x[0:1, :] - means[0, k]
+            dy = x[1:2, :] - means[1, k]
+            logits.append(logw[2, k] - 0.5 * inv_var * (dx * dx + dy * dy))
+        m = logits[0]
+        for k in range(1, n_components):
+            m = jnp.maximum(m, logits[k])
+        num_x = jnp.zeros_like(x[0:1, :])
+        num_y = jnp.zeros_like(x[0:1, :])
+        den = jnp.zeros_like(x[0:1, :])
+        for k in range(n_components):
+            w = jnp.exp(logits[k] - m)
+            den = den + w
+            num_x = num_x + w * means[0, k]
+            num_y = num_y + w * means[1, k]
+        inv_den = 1.0 / den
+        # grad E = (x - E_resp[mu]) / sigma^2
+        gx = (x[0:1, :] - num_x * inv_den) * inv_var
+        gy = (x[1:2, :] - num_y * inv_den) * inv_var
+        grad = jnp.concatenate([gx, gy], axis=0)
+        eps = _normal_from_bits(x.shape)
+        return x - step_size * grad + noise_coef * eps
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def mixture_langevin_chain(
+    x0: Array,
+    means: Array,
+    n_steps: int,
+    step_size: float,
+    noise_scale: float = 1.0,
+    *,
+    scale: float = 1.0,
+    log_weights: Optional[Array] = None,
+    seed: int = 0,
+    block_chains: int = 2048,
+    interpret: bool = False,
+) -> Array:
+    """Full n-step Langevin chain on a 2D isotropic Gaussian mixture in one kernel.
+
+    ``x0``: (n_chains, 2); ``means``: (K, 2). The benchmark-critical 8gaussians
+    workload (BASELINE config 1) with zero HBM round-trips between steps.
+    """
+    n_chains, dim = x0.shape
+    if dim != 2:
+        raise ValueError("mixture_langevin_chain currently supports dim=2 states")
+    k = means.shape[0]
+    if log_weights is None:
+        log_weights = jnp.full((k,), -math.log(k), jnp.float32)
+
+    padded = _round_up(n_chains, _LANE)
+    xt = jnp.pad(x0, ((0, padded - n_chains), (0, 0))).T  # (2, padded)
+    # means/logw packed to an (8, K_pad) tile: rows [mx, my, logw, 0...]
+    k_pad = _round_up(k, _LANE)
+    packed = jnp.zeros((8, k_pad), jnp.float32)
+    packed = packed.at[0, :k].set(means[:, 0])
+    packed = packed.at[1, :k].set(means[:, 1])
+    packed = packed.at[2, :k].set(log_weights)
+
+    block = min(block_chains, padded)
+    while padded % block:
+        block //= 2
+    block = max(block, _LANE)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _mixture_chain_kernel,
+            n_steps=int(n_steps),
+            step_size=float(step_size),
+            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+            inv_var=1.0 / float(scale) ** 2,
+            n_components=int(k),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, padded), jnp.float32),
+        grid=(padded // block,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((2, block), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), xt, packed, packed)
+    return out.T[:n_chains]
+
+
+# ---------------------------------------------------------------------------
+# self-test / benchmark (mirrors reference fused_langevin.py:183-266)
+# ---------------------------------------------------------------------------
+
+
+def _selftest():  # pragma: no cover - exercised via `python -m`
+    import time
+
+    from ..core.energies import DoubleWellEnergy, GaussianMixtureEnergy
+    from ..samplers import LangevinDynamics
+
+    key = jax.random.PRNGKey(0)
+    n, d, steps = 4096, 32, 1000
+    x = jax.random.normal(key, (n, d))
+    dw = DoubleWellEnergy()
+
+    # correctness 1: fused step vs eager update under injected noise
+    g = dw.gradient(x)
+    eps = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+    fused = fused_langevin_step(x, g, 0.01, 1.0, noise=eps)
+    eager = x - 0.01 * g + math.sqrt(2 * 0.01) * eps
+    err = float(jnp.max(jnp.abs(fused - eager)))
+    print(f"fused step max-abs-err vs eager: {err:.2e}")
+    assert err < 1e-6
+
+    # correctness 2: stationary moment sanity for the chain kernel
+    chain = doublewell_langevin_chain(x, 2000, 0.01, 1.0, seed=7)
+    m = float(jnp.mean(jnp.abs(chain)))
+    print(f"double-well chain E|x| = {m:.3f} (expect ~0.8-1.1)")
+
+    def timeit(fn, iters=10):
+        jax.block_until_ready(fn())
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    sampler = LangevinDynamics(dw, step_size=0.01)
+    t_lib = timeit(lambda: sampler.sample(key, x=x, n_steps=steps))
+    t_chain = timeit(lambda: doublewell_langevin_chain(x, steps, 0.01, 1.0))
+
+    mix = GaussianMixtureEnergy.eight_gaussians()
+    x2 = jax.random.normal(key, (10_000, 2))
+    s2 = LangevinDynamics(mix, step_size=0.05)
+    t_lib_mix = timeit(lambda: s2.sample(key, x=x2, n_steps=steps))
+    t_mix = timeit(
+        lambda: mixture_langevin_chain(x2, mix.means, steps, 0.05, scale=float(mix.scale))
+    )
+
+    ups = lambda t, nn: nn * steps / t
+    print(f"[doublewell {n}x{d}x{steps}] library scan: {ups(t_lib, n*d):.3e} u/s | "
+          f"pallas chain: {ups(t_chain, n*d):.3e} u/s | speedup {t_lib/t_chain:.2f}x")
+    print(f"[8gaussians 10000x2x{steps}] library scan: {ups(t_lib_mix, 10_000):.3e} u/s | "
+          f"pallas chain: {ups(t_mix, 10_000):.3e} u/s | speedup {t_lib_mix/t_mix:.2f}x")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _selftest()
