@@ -1,0 +1,318 @@
+r"""Benchmark auto-discovery registry.
+
+Re-design of ``/root/reference/benchmarks/registry.py`` (853 LoC): every
+public component family is enumerated from the library's own registries and
+``__all__`` exports, and each gets a benchmark callable builder keyed on a
+scale config. Adding a component to a library registry automatically adds its
+benchmark — the same "name-addressable axis system" the reference keys off.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Scale:
+    name: str
+    batch: int
+    dim: int
+    steps: int
+
+
+# reference benchmarks/conftest.py:35-39
+SCALES = {
+    "small": Scale("small", 64, 8, 50),
+    "medium": Scale("medium", 256, 32, 100),
+    "large": Scale("large", 1024, 128, 200),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchSpec:
+    name: str  # "group.component[:variant]"
+    group: str
+    build: Callable[[Scale], Callable[[], object]]  # returns a timed thunk
+    tpu_only: bool = False
+
+
+def _key():
+    return jax.random.PRNGKey(0)
+
+
+def _mlp_energy(dim: int):
+    from torchebm_tpu.core import WrappedEnergy
+    from torchebm_tpu.models import MLPEnergy
+
+    net = MLPEnergy(hidden_dims=(128, 128))
+    params = net.init(_key(), jnp.zeros((1, dim)))
+    return WrappedEnergy(fn=net.apply, params=params), params
+
+
+def _field(dim: int):
+    from torchebm_tpu.models import MLPVelocityField
+    from torchebm_tpu.samplers.flow import WrappedField
+
+    net = MLPVelocityField(hidden_dims=(128, 128))
+    params = net.init(_key(), jnp.zeros((1, dim)), jnp.zeros((1,)))
+    return WrappedField(fn=net.apply, params=params), params
+
+
+def discover() -> Iterator[BenchSpec]:
+    """Yield a BenchSpec per (component family x registry entry)."""
+    yield from _sampler_specs()
+    yield from _integrator_specs()
+    yield from _coupling_specs()
+    yield from _interpolant_specs()
+    yield from _loss_specs()
+    yield from _ops_specs()
+
+
+# ---------------------------------------------------------------- samplers
+
+
+def _sampler_specs() -> Iterator[BenchSpec]:
+    def langevin(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import LangevinDynamics
+
+        s = LangevinDynamics(GaussianEnergy.standard(scale.dim), step_size=0.01)
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
+
+    def hmc(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import HamiltonianMonteCarlo
+
+        s = HamiltonianMonteCarlo(
+            GaussianEnergy.standard(scale.dim), step_size=0.1, n_leapfrog_steps=5
+        )
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=max(scale.steps // 5, 1))
+
+    def rmhmc(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import RiemannianManifoldHMC
+
+        d = min(scale.dim, 16)  # batched Cholesky: cap the metric size
+
+        def metric(x):
+            return jnp.broadcast_to(jnp.eye(d), (x.shape[0], d, d))
+
+        s = RiemannianManifoldHMC(
+            GaussianEnergy.standard(d), metric_fn=metric, step_size=0.1, n_leapfrog_steps=3
+        )
+        k = _key()
+        return lambda: s.sample(k, dim=d, n_samples=scale.batch, n_steps=max(scale.steps // 10, 1))
+
+    def gd(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import GradientDescentSampler
+
+        s = GradientDescentSampler(GaussianEnergy.standard(scale.dim), step_size=0.1)
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
+
+    def nesterov(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import NesterovSampler
+
+        s = NesterovSampler(GaussianEnergy.standard(scale.dim), step_size=0.1)
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
+
+    def flow_ode(scale: Scale):
+        from torchebm_tpu.samplers import FlowSampler
+
+        field, _ = _field(scale.dim)
+        s = FlowSampler(model=field, integrator="euler")
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
+
+    builders = {
+        "LangevinDynamics": langevin,
+        "HamiltonianMonteCarlo": hmc,
+        "RiemannianManifoldHMC": rmhmc,
+        "GradientDescentSampler": gd,
+        "NesterovSampler": nesterov,
+        "FlowSampler": flow_ode,
+    }
+    for name, build in builders.items():
+        yield BenchSpec(name=f"samplers.{name}", group="samplers", build=build)
+
+
+# ---------------------------------------------------------------- integrators
+
+
+def _integrator_specs() -> Iterator[BenchSpec]:
+    from torchebm_tpu.integrators import INTEGRATOR_REGISTRY, get_integrator
+
+    seen = set()
+    for reg_name, cls in sorted(INTEGRATOR_REGISTRY.items()):
+        if cls in seen:
+            continue
+        seen.add(cls)
+
+        def build(scale: Scale, reg_name=reg_name):
+            integ = get_integrator(reg_name)
+            x0 = jnp.ones((scale.batch, scale.dim))
+            drift = lambda x, t: -x
+            k = _key()
+            if integ.family == "sde":
+                return lambda: integ.integrate(
+                    {"x": x0}, 0.01, scale.steps, drift=drift, key=k
+                )["x"]
+            if integ.family == "symplectic":
+                state = {"x": x0, "p": jnp.zeros_like(x0)}
+                if integ.separable:
+                    return lambda: integ.integrate(state, 0.01, scale.steps, drift=drift)["x"]
+                return lambda: integ.integrate(
+                    state, 0.01, scale.steps,
+                    force=lambda x, p, t: -x, velocity=lambda x, p, t: p,
+                )["x"]
+            return lambda: integ.integrate(
+                {"x": x0}, 0.01, scale.steps, drift=drift, adaptive=False
+            )["x"]
+
+        yield BenchSpec(name=f"integrators.{cls.__name__}", group="integrators", build=build)
+
+
+# ---------------------------------------------------------------- couplings
+
+
+def _coupling_specs() -> Iterator[BenchSpec]:
+    from torchebm_tpu.couplings import COUPLING_REGISTRY, get_coupling
+
+    seen = set()
+    for reg_name, cls in sorted(COUPLING_REGISTRY.items()):
+        if cls in seen:
+            continue
+        seen.add(cls)
+
+        def build(scale: Scale, reg_name=reg_name):
+            c = get_coupling(reg_name)
+            k = _key()
+            x0 = jax.random.normal(k, (scale.batch, scale.dim))
+            x1 = jax.random.normal(jax.random.fold_in(k, 1), (scale.batch, scale.dim))
+            return lambda: c.couple(x0, x1, key=k).x1
+
+        yield BenchSpec(name=f"couplings.{cls.__name__}", group="couplings", build=build)
+
+
+# ---------------------------------------------------------------- interpolants
+
+
+def _interpolant_specs() -> Iterator[BenchSpec]:
+    from torchebm_tpu.interpolants import INTERPOLANT_REGISTRY, get_interpolant
+
+    for reg_name in sorted(INTERPOLANT_REGISTRY):
+
+        def build(scale: Scale, reg_name=reg_name):
+            interp = get_interpolant(reg_name)
+            k = _key()
+            x0 = jax.random.normal(k, (scale.batch, scale.dim))
+            x1 = jax.random.normal(jax.random.fold_in(k, 1), (scale.batch, scale.dim))
+            t = jax.random.uniform(jax.random.fold_in(k, 2), (scale.batch,))
+            f = jax.jit(lambda a, b, tt: interp.interpolate(a, b, tt))
+            return lambda: f(x0, x1, t)
+
+        cls = INTERPOLANT_REGISTRY[reg_name]
+        yield BenchSpec(name=f"interpolants.{cls.__name__}", group="interpolants", build=build)
+
+
+# ---------------------------------------------------------------- losses
+
+
+def _loss_specs() -> Iterator[BenchSpec]:
+    def cd(scale: Scale):
+        from torchebm_tpu.losses import ContrastiveDivergence
+        from torchebm_tpu.samplers import LangevinDynamics
+
+        energy, params = _mlp_energy(scale.dim)
+        loss = ContrastiveDivergence(
+            model=energy, sampler=LangevinDynamics(energy, step_size=0.01), k_steps=10
+        )
+        k = _key()
+        x = jax.random.normal(k, (scale.batch, scale.dim))
+        g = jax.jit(jax.grad(lambda p: loss(p, x, k)[0]))
+        return lambda: g(params)
+
+    def dsm(scale: Scale):
+        from torchebm_tpu.losses import DenoisingScoreMatching
+
+        energy, params = _mlp_energy(scale.dim)
+        loss = DenoisingScoreMatching(model=energy, noise_scale=0.1)
+        k = _key()
+        x = jax.random.normal(k, (scale.batch, scale.dim))
+        g = jax.jit(jax.grad(lambda p: loss(p, x, k)))
+        return lambda: g(params)
+
+    def ssm(scale: Scale):
+        from torchebm_tpu.losses import SlicedScoreMatching
+
+        energy, params = _mlp_energy(scale.dim)
+        loss = SlicedScoreMatching(model=energy, n_projections=4)
+        k = _key()
+        x = jax.random.normal(k, (scale.batch, scale.dim))
+        g = jax.jit(jax.grad(lambda p: loss(p, x, k)))
+        return lambda: g(params)
+
+    def eqm(scale: Scale):
+        from torchebm_tpu.losses import EquilibriumMatchingLoss
+
+        field, params = _field(scale.dim)
+        loss = EquilibriumMatchingLoss(model=field)
+        k = _key()
+        x = jax.random.normal(k, (scale.batch, scale.dim))
+        g = jax.jit(jax.grad(lambda p: loss(p, x, k)))
+        return lambda: g(params)
+
+    def em(scale: Scale):
+        from torchebm_tpu.losses import EnergyMatchingLoss
+
+        energy, params = _mlp_energy(scale.dim)
+        loss = EnergyMatchingLoss(
+            model=energy, lambda_cd=2.0, coupling="sinkhorn",
+            n_langevin_steps=max(scale.steps // 10, 5),
+        )
+        k = _key()
+        x = jax.random.normal(k, (scale.batch, scale.dim))
+        g = jax.jit(jax.grad(lambda p: loss(p, x, k)))
+        return lambda: g(params)
+
+    for name, build in {
+        "ContrastiveDivergence": cd,
+        "DenoisingScoreMatching": dsm,
+        "SlicedScoreMatching": ssm,
+        "EquilibriumMatchingLoss": eqm,
+        "EnergyMatchingLoss": em,
+    }.items():
+        yield BenchSpec(name=f"losses.{name}", group="losses", build=build)
+
+
+# ---------------------------------------------------------------- ops (TPU)
+
+
+def _ops_specs() -> Iterator[BenchSpec]:
+    def fused_chain(scale: Scale):
+        from torchebm_tpu.ops import doublewell_langevin_chain
+
+        x = jax.random.normal(_key(), (scale.batch, scale.dim))
+        return lambda: doublewell_langevin_chain(x, scale.steps, 0.01, 1.0)
+
+    def mixture_chain(scale: Scale):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        from torchebm_tpu.ops import mixture_langevin_chain
+
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        x = jax.random.normal(_key(), (scale.batch * scale.dim // 2, 2))
+        return lambda: mixture_langevin_chain(
+            x, mix.means, scale.steps, 0.05, scale=float(mix.scale)
+        )
+
+    yield BenchSpec(name="ops.doublewell_langevin_chain", group="ops", build=fused_chain, tpu_only=True)
+    yield BenchSpec(name="ops.mixture_langevin_chain", group="ops", build=mixture_chain, tpu_only=True)
