@@ -6,6 +6,7 @@ torch-style module registry is needed when everything is a pytree), but are
 re-exported here for API parity.
 """
 
+from .module import warn_once
 from .energies import (
     AckleyEnergy,
     DoubleWellEnergy,
@@ -32,6 +33,7 @@ from .schedulers import (
 )
 
 __all__ = [
+    "warn_once",
     "Energy",
     "WrappedEnergy",
     "as_energy",

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -32,6 +34,8 @@ from ..utils.training import update_ema
 Array = jax.Array
 
 __all__ = ["TrainState", "BaseTrainer", "ContrastiveDivergenceTrainer"]
+
+logger = logging.getLogger(__name__)
 
 
 @struct.dataclass
@@ -178,6 +182,7 @@ class BaseTrainer:
         reduced = {
             k: float(jnp.mean(jnp.stack(v))) for k, v in accum.items() if v
         }
+        logger.info("epoch done (step=%d): %s", int(state.step), reduced)
         self._fire("on_epoch_end", state, reduced)
         return state, reduced
 
