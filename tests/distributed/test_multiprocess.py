@@ -1,0 +1,80 @@
+"""Real 2-process jax.distributed tests on CPU (spawn harness).
+
+Validates: global device visibility, cross-process collectives through a
+global mesh, the rank/world shim, and per-rank PRNG decorrelation — without
+real multi-host hardware (reference pattern: gloo-CPU,
+``tests/distributed/test_distributed_shim.py``).
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from dist_harness import run_two_process
+
+pytestmark = [pytest.mark.distributed, pytest.mark.slow]
+
+
+def test_global_mesh_psum_and_shim():
+    payload = """
+def payload():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental import multihost_utils
+    from torchebm_tpu.parallel import get_rank, get_world_size, is_distributed, make_mesh
+
+    assert is_distributed()
+    mesh = make_mesh(("data",))  # global mesh over all 4 devices (2 per proc)
+
+    # host-local shard -> global array -> global sum via jit
+    local = jnp.full((2, 2), float(get_rank() + 1))
+    arr = multihost_utils.host_local_array_to_global_array(local, mesh, P("data", None))
+    total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(arr)
+    # replicated output: read the local replica
+    total_local = float(np.asarray(total.addressable_data(0)))
+    return {
+        "rank": get_rank(),
+        "world": get_world_size(),
+        "n_devices": jax.device_count(),
+        "n_local": jax.local_device_count(),
+        "global_sum": total_local,
+    }
+"""
+    results = run_two_process(payload)
+    assert sorted(r["rank"] for r in results) == [0, 1]
+    for r in results:
+        assert r["world"] == 2
+        assert r["n_devices"] == 4
+        assert r["n_local"] == 2
+        # rank0 contributes 4*1, rank1 contributes 4*2
+        assert abs(r["global_sum"] - 12.0) < 1e-6
+
+
+def test_per_rank_chains_decorrelate():
+    payload = """
+def payload():
+    import jax
+    import jax.numpy as jnp
+    from torchebm_tpu.core import GaussianEnergy
+    from torchebm_tpu.parallel import get_rank
+    from torchebm_tpu.samplers import LangevinDynamics
+
+    sampler = LangevinDynamics(GaussianEnergy.standard(2), step_size=0.01)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), get_rank())
+    out = sampler.sample(key, dim=2, n_samples=8, n_steps=10)
+    shared = sampler.sample(jax.random.PRNGKey(0), dim=2, n_samples=8, n_steps=10)
+    return {
+        "rank": get_rank(),
+        "sum": float(jnp.sum(out)),
+        "shared_sum": float(jnp.sum(shared)),
+    }
+"""
+    results = run_two_process(payload)
+    r0, r1 = sorted(results, key=lambda r: r["rank"])
+    # rank-folded keys -> different chains; shared key -> identical chains
+    assert r0["sum"] != r1["sum"]
+    assert r0["shared_sum"] == r1["shared_sum"]
