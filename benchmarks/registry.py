@@ -125,6 +125,17 @@ def _sampler_specs() -> Iterator[BenchSpec]:
         k = _key()
         return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
 
+    def pt_langevin(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import ParallelTemperingLangevin
+
+        s = ParallelTemperingLangevin(
+            GaussianEnergy.standard(scale.dim), temperatures=(1.0, 2.0, 4.0, 8.0),
+            step_size=0.01, swap_every=5,
+        )
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
+
     def flow_ode(scale: Scale):
         from torchebm_tpu.samplers import FlowSampler
 
@@ -139,6 +150,7 @@ def _sampler_specs() -> Iterator[BenchSpec]:
         "RiemannianManifoldHMC": rmhmc,
         "GradientDescentSampler": gd,
         "NesterovSampler": nesterov,
+        "ParallelTemperingLangevin": pt_langevin,
         "FlowSampler": flow_ode,
     }
     for name, build in builders.items():

@@ -137,13 +137,86 @@ def test_add_noise_to_real(mlp_energy, key):
     assert float(jnp.abs(l1 - l0)) > 1e-6
 
 
-def test_stubs():
+def test_pcd_factory():
     assert PersistentContrastiveDivergence(
         model=GaussianEnergy.standard(2),
         sampler=LangevinDynamics(GaussianEnergy.standard(2)),
     ).persistent
-    with pytest.raises(NotImplementedError):
-        ParallelTemperingCD()
+
+
+# ---------------------------------------------------------------------------
+# ParallelTemperingCD (full implementation; reference ships only a stub,
+# torchebm/losses/contrastive_divergence.py:246-263)
+# ---------------------------------------------------------------------------
+
+
+def make_ptcd(energy, **kw):
+    from torchebm_tpu.samplers import ParallelTemperingLangevin
+
+    sampler = ParallelTemperingLangevin(
+        energy, temperatures=(1.0, 2.0, 4.0), step_size=0.01, swap_every=2
+    )
+    return ParallelTemperingCD(model=energy, sampler=sampler, **kw)
+
+
+def test_ptcd_rejects_plain_sampler(mlp_energy):
+    energy, _ = mlp_energy
+    with pytest.raises(TypeError, match="ParallelTemperingLangevin"):
+        ParallelTemperingCD(model=energy, sampler=LangevinDynamics(energy))
+
+
+def test_ptcd_returns_cold_negatives(mlp_energy, key):
+    energy, params = mlp_energy
+    ptcd = make_ptcd(energy, k_steps=5)
+    x = jax.random.normal(key, (32, 2))
+    loss, (neg, buf) = ptcd(params, x, key)
+    assert loss.shape == ()
+    assert neg.shape == x.shape
+    assert buf is None
+    assert bool(jnp.all(jnp.isfinite(loss)))
+
+
+def test_ptcd_persistent_ladder_buffer(mlp_energy, key):
+    energy, params = mlp_energy
+    ptcd = make_ptcd(
+        energy, k_steps=3, persistent=True, buffer_size=64, init_steps=4
+    )
+    buf = ptcd.init_buffer(key, (2,), params=params)
+    assert buf.samples.shape == (64, 3, 2)  # (buffer, n_replicas, dim)
+
+    x = jax.random.normal(key, (16, 2))
+    loss, (neg, buf2) = ptcd(params, x, key, buf)
+    assert neg.shape == (16, 2)
+    assert buf2.samples.shape == buf.samples.shape
+    assert int(buf2.ptr) == 16
+    # pushed slots hold the new ladders, replica axis intact
+    assert not bool(jnp.all(buf2.samples[:16] == buf.samples[:16]))
+
+    with pytest.raises(ValueError, match="ReplayBuffer"):
+        ptcd(params, x, key, None)
+
+
+def test_ptcd_gradient_trains(mlp_energy, gauss_data, key):
+    energy, params = mlp_energy
+    ptcd = make_ptcd(energy, k_steps=10)
+    opt = optax.adam(2e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, x, k):
+        (loss, _), grads = jax.value_and_grad(lambda pp: ptcd(pp, x, k), has_aux=True)(p)
+        upd, s = opt.update(grads, s)
+        return optax.apply_updates(p, upd), s, loss
+
+    p = params
+    for i in range(40):
+        k = jax.random.fold_in(key, i)
+        p, opt_state, _ = step(p, opt_state, gauss_data(k), jax.random.fold_in(k, 1))
+
+    e = energy.replace(params=p)
+    e_data = float(jnp.mean(e(gauss_data(key))))
+    e_far = float(jnp.mean(e(8.0 * jnp.ones((16, 2)))))
+    assert e_data < e_far
 
 
 def test_cd_jits_and_buffer_donation(mlp_energy, key):

@@ -16,6 +16,7 @@ from torchebm_tpu.samplers import (
     HamiltonianMonteCarlo,
     LangevinDynamics,
     NesterovSampler,
+    ParallelTemperingLangevin,
     RiemannianManifoldHMC,
 )
 
@@ -42,6 +43,9 @@ CASES = [
          ("mean", "var", "energy", "acceptance_rate")),
     Case("gd", lambda: GradientDescentSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
     Case("nesterov", lambda: NesterovSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
+    Case("pt_langevin",
+         lambda: ParallelTemperingLangevin(ENERGY, temperatures=(1.0, 2.0), step_size=0.01),
+         ("mean", "var", "energy", "swap_acceptance_rate")),
 ]
 
 

@@ -21,6 +21,7 @@ from torchebm_tpu.samplers import (
     GradientDescentSampler,
     HamiltonianMonteCarlo,
     LangevinDynamics,
+    ParallelTemperingLangevin,
     RiemannianManifoldHMC,
 )
 
@@ -39,6 +40,7 @@ def _samplers():
         ),
         FlowSampler(model=lambda x, t: -x, mode="sde", prediction="score",
                     sample_eps=0.01, integrator="euler"),
+        ParallelTemperingLangevin(ENERGY, temperatures=(1.0, 2.0), step_size=0.01),
     ]
 
 

@@ -105,8 +105,10 @@ _LAZY_SYMBOLS = {
     "NesterovSampler": "samplers",
     "FlowSampler": "samplers",
     "PredictionType": "samplers",
+    "ParallelTemperingLangevin": "samplers",
     # losses
     "ContrastiveDivergence": "losses",
+    "ParallelTemperingCD": "losses",
     "ScoreMatching": "losses",
     "DenoisingScoreMatching": "losses",
     "SlicedScoreMatching": "losses",

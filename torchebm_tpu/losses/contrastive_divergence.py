@@ -201,12 +201,168 @@ def PersistentContrastiveDivergence(*args, **kwargs) -> ContrastiveDivergence:
     return ContrastiveDivergence(*args, **kwargs)
 
 
-class ParallelTemperingCD:
-    """Unimplemented in the reference (constructor-only stub,
-    ``contrastive_divergence.py:246-263``); kept for API parity."""
+@struct.dataclass
+class ParallelTemperingCD(BaseLoss):
+    r"""CD with replica-exchange (parallel-tempered) Langevin negatives.
 
-    def __init__(self, *args, **kwargs):
-        raise NotImplementedError(
-            "ParallelTemperingCD is a stub in the reference library and is not "
-            "implemented here either; use ContrastiveDivergence(persistent=True)."
+    The reference ships only a constructor stub for this
+    (``contrastive_divergence.py:246-263``: an aspiration sketch that Gibbs-steps
+    per-temperature chains in a host loop and swaps one random pair per sweep).
+    This is a full implementation around
+    :class:`~torchebm_tpu.samplers.ParallelTemperingLangevin`: negatives come
+    from the **cold** chain of a replica ladder whose hot chains cross energy
+    barriers plain Langevin negatives get stuck behind — the standard fix for
+    CD on multimodal energies.
+
+    Call convention matches :class:`ContrastiveDivergence`::
+
+        ptcd = ParallelTemperingCD(model=e, sampler=ParallelTemperingLangevin(e, ...))
+        loss, (negatives, new_buffer) = ptcd(params, x, key, buffer)
+
+    With ``persistent=True`` the replay buffer keeps the **entire ladder**
+    alive per slot (``(buffer_size, n_replicas, *data_shape)``) so every
+    temperature's chain persists across training steps; create it with
+    :meth:`init_buffer`. Non-persistent CD tiles the data batch across
+    replicas as the start state (the stub's ``chains = [x_pos] * len(temps)``).
+    """
+
+    model: Energy = None
+    sampler: Any = None  # ParallelTemperingLangevin
+    k_steps: int = struct.field(pytree_node=False, default=10)
+    persistent: bool = struct.field(pytree_node=False, default=False)
+    buffer_size: int = struct.field(pytree_node=False, default=10_000)
+    init_steps: int = struct.field(pytree_node=False, default=100)
+    new_sample_ratio: float = struct.field(pytree_node=False, default=0.05)
+    energy_reg_weight: float = struct.field(pytree_node=False, default=0.001)
+    add_noise_to_real: bool = struct.field(pytree_node=False, default=False)
+    noise_scale: float = struct.field(pytree_node=False, default=1e-4)
+
+    def __post_init__(self):
+        from ..samplers.parallel_tempering import ParallelTemperingLangevin
+
+        if self.sampler is not None and not isinstance(
+            self.sampler, ParallelTemperingLangevin
+        ):
+            raise TypeError(
+                "ParallelTemperingCD needs a ParallelTemperingLangevin sampler; "
+                f"got {type(self.sampler).__name__}. For single-temperature "
+                "negatives use ContrastiveDivergence."
+            )
+
+    # ------------------------------------------------------------- buffer
+
+    def init_buffer(
+        self,
+        key: Array,
+        data_shape: Tuple[int, ...],
+        chunk_size: int = 1024,
+        init_noise_scale: float = 0.01,
+        params: Any = None,
+    ) -> ReplayBuffer:
+        """Noise-init a ``(buffer_size, n_replicas, *data_shape)`` ladder
+        buffer, then (optionally) warm it up with chunked replica-exchange MCMC
+        outside jit (one-time cost, like :meth:`ContrastiveDivergence.init_buffer`)."""
+        if not self.persistent:
+            raise ValueError("init_buffer is only meaningful for persistent=True")
+        if self.buffer_size <= 0:
+            raise ValueError(f"Replay buffer size must be positive, got {self.buffer_size}")
+        n_rep = self.sampler.n_replicas
+        k_noise, k_warm = jax.random.split(key)
+        samples = (
+            jax.random.normal(
+                k_noise, (self.buffer_size, n_rep, *data_shape), jnp.float32
+            )
+            * init_noise_scale
         )
+        if self.init_steps > 0:
+            sampler = self.sampler.replace(model=inject_params(self.sampler.model, params))
+            chunk = min(self.buffer_size, chunk_size)
+            updated = []
+            for i in range(0, self.buffer_size, chunk):
+                ladder = jnp.moveaxis(samples[i : i + chunk], 0, 1)  # (R, b, *ds)
+                ladder, _ = sampler.run_replicas(
+                    jax.random.fold_in(k_warm, i), ladder, self.init_steps
+                )
+                updated.append(jnp.moveaxis(ladder, 0, 1))
+            samples = jnp.concatenate(updated, axis=0)
+        return ReplayBuffer(samples=samples, ptr=jnp.int32(0))
+
+    def _start_ladder(
+        self, x: Array, buffer: Optional[ReplayBuffer], key: Array
+    ) -> Array:
+        """Start ladder ``(n_replicas, B, *data_shape)``: tiled data (CD) or
+        stratified buffer draws + exploration noise (PCD)."""
+        n_rep = self.sampler.n_replicas
+        if not self.persistent:
+            x = jax.lax.stop_gradient(x)
+            return jnp.broadcast_to(x[None], (n_rep,) + x.shape)
+        if buffer is None:
+            raise ValueError(
+                "persistent=True requires a ReplayBuffer state; create one with "
+                "ptcd.init_buffer(key, data_shape) and thread it through calls."
+            )
+        batch = x.shape[0]
+        k_idx, k_perm, k_noise = jax.random.split(key, 3)
+        if buffer.size < batch:
+            indices = jax.random.randint(k_idx, (batch,), 0, buffer.size)
+        else:
+            stride = buffer.size // batch
+            base = jnp.arange(batch) * stride
+            offset = jax.random.randint(k_idx, (batch,), 0, stride)
+            indices = (base + offset) % buffer.size
+        starts = jnp.moveaxis(buffer.samples[indices], 0, 1)  # (R, B, *ds)
+
+        if self.new_sample_ratio > 0.0:
+            n_new = max(1, int(batch * self.new_sample_ratio))
+            noise_idx = jax.random.permutation(k_perm, batch)[:n_new]
+            noise = 0.01 * jax.random.normal(
+                k_noise, (self.sampler.n_replicas, n_new, *x.shape[1:]), x.dtype
+            )
+            starts = starts.at[:, noise_idx].add(noise)
+        return starts
+
+    # --------------------------------------------------------------- call
+
+    def __call__(
+        self,
+        params: Any,
+        x: Array,
+        key: Array,
+        buffer: Optional[ReplayBuffer] = None,
+        *,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        """Returns ``(loss, (negatives, new_buffer))`` — negatives are the cold
+        chain; ``new_buffer`` is ``None`` for non-persistent CD."""
+        mk = model_kwargs or {}
+        model = self._model(params)
+        sampler = self.sampler.replace(model=inject_params(self.sampler.model, params))
+
+        k_start, k_chain, k_real = jax.random.split(key, 3)
+        starts = self._start_ladder(x, buffer, k_start)
+        ladder, _ = sampler.run_replicas(
+            k_chain, starts, self.k_steps, model_kwargs=mk
+        )
+        ladder = jax.lax.stop_gradient(ladder)
+        negatives = ladder[0]
+
+        new_buffer = (
+            buffer.push(jnp.moveaxis(ladder, 0, 1))
+            if (self.persistent and buffer is not None)
+            else None
+        )
+
+        if self.add_noise_to_real:
+            x_in = x + self.noise_scale * jax.random.normal(k_real, x.shape, x.dtype)
+        else:
+            x_in = x
+        x_energy = model.energy(x_in, **mk)
+        neg_energy = model.energy(negatives, **mk)
+
+        loss = jnp.mean(x_energy) - jnp.mean(neg_energy)
+        if self.energy_reg_weight > 0:
+            loss = loss + self.energy_reg_weight * (
+                jnp.mean(x_energy**2) + jnp.mean(neg_energy**2)
+            )
+        loss = jnp.where(jnp.isfinite(loss), loss, jnp.asarray(0.1, loss.dtype))
+        return loss, (negatives, new_buffer)

@@ -13,11 +13,13 @@ from .diagnostics import (
 from .gradient_descent import GradientDescentSampler, NesterovSampler
 from .hmc import DualAveragingState, HamiltonianMonteCarlo, dual_averaging_update
 from .langevin import LangevinDynamics
+from .parallel_tempering import ParallelTemperingLangevin
 from .rmhmc import RiemannianManifoldHMC
 
 __all__ = [
     "BaseSampler",
     "LangevinDynamics",
+    "ParallelTemperingLangevin",
     "HamiltonianMonteCarlo",
     "RiemannianManifoldHMC",
     "GradientDescentSampler",
