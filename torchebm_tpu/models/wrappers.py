@@ -35,6 +35,14 @@ class LabelClassifierFreeGuidance:
     cfg_scale: float = struct.field(pytree_node=False, default=1.0)
     guide_channels: int = struct.field(pytree_node=False, default=3)
 
+    def __post_init__(self):
+        from ..samplers.flow import WrappedField
+
+        # Bare callables are not valid pytree leaves under jit; wrap them the
+        # same way FlowSampler/EqMEnergy do (fn static, params a leaf).
+        if callable(self.base) and not hasattr(self.base, "__dataclass_fields__"):
+            object.__setattr__(self, "base", WrappedField(fn=self.base))
+
     def __call__(self, x: Array, t: Array, *, y: Array, **kwargs) -> Array:
         if self.cfg_scale <= 1.0:
             return self.base(x, t, y=y, **kwargs)
