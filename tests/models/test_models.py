@@ -129,6 +129,33 @@ def test_cfg_wrapper_math(key):
     np.testing.assert_allclose(cfg1(x, jnp.zeros(2), y=y)[:, 0, 0, 0], 1 + y.astype(jnp.float32))
 
 
+def test_cfg_wrapper_bare_callable_jits_through_flow_sampler(key):
+    """Regression: a plain function as CFG base must be jit-safe (it is wrapped
+    in WrappedField, not stored as a pytree leaf)."""
+    from torchebm_tpu.samplers import FlowSampler
+    from torchebm_tpu.samplers.flow import WrappedField
+
+    def field(x, t, *, y):
+        target = jnp.stack([y.astype(x.dtype), jnp.zeros_like(y, x.dtype)], -1)
+        return target - x
+
+    cfg = LabelClassifierFreeGuidance(
+        base=field, null_label_id=0, cfg_scale=2.0, guide_channels=2
+    )
+    assert isinstance(cfg.base, WrappedField)
+    y = jnp.array([3, 3, 5, 5], jnp.int32)
+    gen = FlowSampler(model=cfg, integrator="euler").sample(
+        key, dim=2, n_samples=4, n_steps=50, model_kwargs={"y": y}
+    )
+    # guided field = 2y - x; unit-time ODE from noise lands near 2y(1 - 1/e)
+    c = 1.0 - float(np.exp(-1.0))
+    np.testing.assert_allclose(np.asarray(gen[:2, 0]), 6.0 * c, atol=0.8)
+    np.testing.assert_allclose(np.asarray(gen[2:, 0]), 10.0 * c, atol=0.8)
+    # dataclass bases pass through unwrapped
+    cfg2 = LabelClassifierFreeGuidance(base=WrappedField(fn=lambda p, x, t, **kw: -x))
+    assert isinstance(cfg2.base, WrappedField)
+
+
 def test_interaction_model_repulsion(key):
     base = GaussianEnergy.standard(2)
     inter = InteractionModel(model=base, sigma_w=4.0, strength=0.15)
