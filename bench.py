@@ -31,7 +31,17 @@ ITERS = 5
 
 
 def main() -> None:
+    import os
+
     import jax
+
+    try:  # persistent compile cache: repeat runs skip the (remote) compiles
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from torchebm_tpu.core import GaussianMixtureEnergy
     from torchebm_tpu.samplers import LangevinDynamics

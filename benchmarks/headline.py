@@ -241,6 +241,13 @@ def main() -> int:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    try:  # persistent compile cache: repeat runs skip the (remote) compiles
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_comp_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     backend = jax.devices()[0].platform
 
     selected = [s for s in args.only.split(",") if s] or list(BENCHES)
