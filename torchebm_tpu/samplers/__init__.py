@@ -18,6 +18,8 @@ from .rmhmc import RiemannianManifoldHMC
 
 __all__ = [
     "BaseSampler",
+    "FlowSampler",
+    "PredictionType",
     "LangevinDynamics",
     "ParallelTemperingLangevin",
     "HamiltonianMonteCarlo",
