@@ -84,6 +84,98 @@ def test_alternative_sde_integrator(key):
     assert abs(float(jnp.var(out)) - 1.0) < 0.3
 
 
+class TestFusedDispatch:
+    """Eager TPU calls route to the whole-chain Pallas kernels (stubbed here —
+    the real kernels need TPU hardware, see tests/ops/test_fused_langevin.py)."""
+
+    def test_force_routes_doublewell(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        calls = []
+
+        def stub(x0, n_steps, step_size, noise_scale, *, barrier_height, b, seed):
+            calls.append((x0.shape, n_steps, step_size, noise_scale, barrier_height, b))
+            return x0
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain", stub)
+        sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01, fused="force")
+        out = sampler.sample(key, dim=4, n_samples=32, n_steps=7)
+        assert calls == [((32, 4), 7, 0.01, 1.0, 2.0, 1.0)]
+        assert out.shape == (32, 4)
+
+    def test_force_routes_mixture(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        calls = []
+
+        def stub(x0, means, n_steps, step_size, noise_scale, *, scale, log_weights, seed):
+            calls.append((x0.shape, means.shape, n_steps, scale))
+            return x0
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", stub)
+        mix = GaussianMixtureEnergy.eight_gaussians(scale=0.4)
+        sampler = LangevinDynamics(mix, step_size=0.05, fused="force")
+        out = sampler.sample(key, dim=2, n_samples=64, n_steps=5)
+        assert calls == [((64, 2), (8, 2), 5, pytest.approx(0.4))]
+        assert out.shape == (64, 2)
+
+    def test_default_off_on_cpu(self, key, monkeypatch):
+        """Default 'auto' never dispatches off-TPU — the scan path runs."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def boom(*a, **k):  # pragma: no cover - must not be reached
+            raise AssertionError("fused kernel called on CPU under 'auto'")
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
+        sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01)
+        out = sampler.sample(key, dim=2, n_samples=16, n_steps=10)
+        assert out.shape == (16, 2)
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(return_trajectory=True),
+            dict(return_diagnostics=True),
+        ],
+    )
+    def test_unsupported_features_fall_back(self, key, monkeypatch, kwargs):
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("fused kernel must not handle trajectory/diag calls")
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
+        sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01, fused="force")
+        sampler.sample(key, dim=2, n_samples=8, n_steps=5, **kwargs)
+
+    def test_traced_calls_fall_back(self, key, monkeypatch):
+        """Inside user jit the generic scan path is used (shards/traces fine)."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("fused kernel must not be called under trace")
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
+        sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01, fused="force")
+
+        @jax.jit
+        def run(k):
+            return sampler.sample(k, dim=2, n_samples=8, n_steps=5)
+
+        assert run(key).shape == (8, 2)
+
+    def test_invalid_flag_raises(self):
+        with pytest.raises(ValueError, match="fused"):
+            LangevinDynamics(DoubleWellEnergy(), fused="yes")
+
+    def test_fused_off_scan_path_still_clamped(self, key):
+        sampler = LangevinDynamics(
+            DoubleWellEnergy(), step_size=0.1, clamp=(-0.5, 0.5), fused="force"
+        )
+        out = sampler.sample(key, dim=2, n_samples=8, n_steps=5)
+        assert float(jnp.max(jnp.abs(out))) <= 0.5
+
+
 def test_no_recompile_on_param_change(key):
     """Changing step_size (a leaf) must not retrace the compiled chain."""
     e = GaussianEnergy.standard(2)

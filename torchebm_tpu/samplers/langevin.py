@@ -20,9 +20,13 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.energies import Energy
+from ..core.energies import DoubleWellEnergy, Energy, GaussianMixtureEnergy
 from ..core.schedulers import BaseScheduler, sched_value
-from ..integrators import BaseSDERungeKuttaIntegrator, resolve_integrator
+from ..integrators import (
+    BaseSDERungeKuttaIntegrator,
+    EulerMaruyamaIntegrator,
+    resolve_integrator,
+)
 from .base import BaseSampler
 
 Array = jax.Array
@@ -39,10 +43,15 @@ class LangevinDynamics(BaseSampler):
     noise_scale: Union[float, BaseScheduler] = 1.0
     clamp: Optional[Tuple[float, float]] = struct.field(pytree_node=False, default=None)
     integrator: BaseSDERungeKuttaIntegrator = None
+    fused: str = struct.field(pytree_node=False, default="auto")
 
     def __post_init__(self):
         if self.clamp is not None and self.clamp[0] >= self.clamp[1]:
             raise ValueError(f"clamp min must be < max, got {self.clamp}")
+        if self.fused not in ("auto", "off", "force"):
+            raise ValueError(
+                f"fused must be 'auto', 'off' or 'force', got {self.fused!r}"
+            )
         integ = resolve_integrator(
             self.integrator, default="euler_maruyama", families=("sde",)
         )
@@ -61,3 +70,99 @@ class LangevinDynamics(BaseSampler):
         if self.clamp is not None:
             x = jnp.clip(x, self.clamp[0], self.clamp[1])
         return {"x": x}
+
+    # -------------------------------------------------------- fused fast path
+
+    def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs) -> bool:
+        """Whether this exact call maps onto a whole-chain Pallas kernel.
+
+        The dispatch is conservative: eager single-program calls only (inside a
+        user ``jit``/``shard_map`` the generic scan path is used — it shards and
+        traces transparently), default Euler–Maruyama, constant step/noise, no
+        clamp/trajectory/diagnostics/conditioning, and an analytic energy the
+        kernels know (:class:`DoubleWellEnergy`, 2D isotropic
+        :class:`GaussianMixtureEnergy`). ``fused="off"`` disables;
+        ``"force"`` skips the TPU-backend check (kernel-stub tests).
+        """
+        if self.fused == "off":
+            return False
+        if self.fused != "force" and jax.default_backend() != "tpu":
+            return False
+        if return_trajectory or return_diagnostics or model_kwargs:
+            return False
+        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
+            return False
+        if type(self.integrator) is not EulerMaruyamaIntegrator:
+            return False
+        if not isinstance(self.step_size, (int, float)) or not isinstance(
+            self.noise_scale, (int, float)
+        ):
+            return False
+        if self.clamp is not None:
+            return False
+        if type(self.model) is DoubleWellEnergy:
+            return isinstance(self.model.barrier_height, (int, float)) and isinstance(
+                self.model.b, (int, float)
+            )
+        if type(self.model) is GaussianMixtureEnergy:
+            return not isinstance(self.model.means, jax.core.Tracer) and not isinstance(
+                self.model.scale, jax.core.Tracer
+            )
+        return False
+
+    def sample(
+        self,
+        key: Array,
+        x: Optional[Array] = None,
+        dim=None,
+        n_steps: int = 100,
+        n_samples: int = 1,
+        thin: int = 1,
+        return_trajectory: bool = False,
+        return_diagnostics: bool = False,
+        *,
+        model_kwargs=None,
+    ):
+        """Run the chain; eager TPU calls on supported analytic energies are
+        dispatched to the whole-chain Pallas kernels in
+        :mod:`torchebm_tpu.ops.fused_langevin` (zero HBM round-trips between
+        steps), everything else to the shared compiled scan."""
+        if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
+            from ..ops import fused_langevin as ops
+
+            key_init, key_run = jax.random.split(key)
+            x0 = self._init_state(key_init, x, dim, n_samples)
+            seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+            if type(self.model) is DoubleWellEnergy:
+                return ops.doublewell_langevin_chain(
+                    x0,
+                    n_steps,
+                    float(self.step_size),
+                    float(self.noise_scale),
+                    barrier_height=float(self.model.barrier_height),
+                    b=float(self.model.b),
+                    seed=seed,
+                )
+            if x0.ndim == 2 and x0.shape[-1] == 2 and self.model.means.shape[-1] == 2:
+                return ops.mixture_langevin_chain(
+                    x0,
+                    self.model.means,
+                    n_steps,
+                    float(self.step_size),
+                    float(self.noise_scale),
+                    scale=float(self.model.scale),
+                    log_weights=self.model.log_weights,
+                    seed=seed,
+                )
+            # mixture with unsupported dim: fall through to the scan path
+        return super().sample(
+            key,
+            x=x,
+            dim=dim,
+            n_steps=n_steps,
+            n_samples=n_samples,
+            thin=thin,
+            return_trajectory=return_trajectory,
+            return_diagnostics=return_diagnostics,
+            model_kwargs=model_kwargs,
+        )
