@@ -8,12 +8,14 @@ mixture energy, 10,000 parallel chains, compiled to a single on-device
 program (whole-chain Pallas kernel on TPU via the fused="auto" dispatch, or
 one lax.scan elsewhere). "value" is chain-updates/second.
 
-Measurement: two-point slope. The TPU in this environment is reached through
-a tunnel whose per-call round-trip latency (measured ~0.5 s, and variable) can
-exceed the device time of the nominal 1k-step workload, so a single blocking
-timing would measure the tunnel, not the chip. Timing the same workload at
-two step counts and dividing the extra steps by the extra median wall time
-cancels any fixed per-call overhead:
+Measurement: two-point slope with host fetches. The TPU in this environment
+is reached through a tunnel whose per-call round-trip latency (measured
+~0.5 s, and variable) can exceed the device time of the nominal 1k-step
+workload, and whose ``block_until_ready`` does NOT reliably block until the
+remote computation finishes — only fetching the result to host does. So each
+timed call ends with ``np.asarray(out)``, and the same workload is timed at
+two step counts; dividing the extra steps by the extra median wall time
+cancels all fixed per-call overhead (round trips + the 80 KB fetch):
 
     updates/s = chains * (S_HI - S_LO) / (t(S_HI) - t(S_LO))
 
@@ -60,10 +62,13 @@ def main() -> None:
     mix = GaussianMixtureEnergy.eight_gaussians()
     sampler = LangevinDynamics(mix, step_size=0.05)
 
+    import numpy as np
+
     def run(k, n_steps):
         out = sampler.sample(k, dim=2, n_samples=N_CHAINS, n_steps=n_steps)
-        out.block_until_ready()
-        return out
+        # full host fetch: under the axon tunnel block_until_ready can return
+        # before the remote computation finishes; fetching cannot.
+        return np.asarray(out)
 
     def median_time(n_steps):
         run(key, n_steps)  # compile + warmup

@@ -38,15 +38,35 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 
 def _median_time(fn, iters: int) -> float:
-    import jax
+    """Median wall time of ``fn(i)``, ending each call with a host fetch.
 
-    jax.block_until_ready(fn(0))  # compile + warmup
+    Under the axon TPU tunnel ``block_until_ready`` can return before the
+    remote computation finishes — only fetching the result to the host is a
+    reliable fence — so timings use ``np.asarray`` on the returned array.
+    """
+    import numpy as np
+
+    np.asarray(fn(0))  # compile + warmup
     times = []
     for i in range(1, iters + 1):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(i))
+        np.asarray(fn(i))
         times.append(time.perf_counter() - t0)
     return statistics.median(times)
+
+
+def _slope_time(fn, lo: int, hi: int, iters: int) -> float:
+    """Seconds per work unit by two-point slope: time ``fn(n, i)`` (which does
+    ``n`` units and returns an array to fetch) at ``lo`` and ``hi`` units;
+    the slope cancels the fixed per-call tunnel round-trip + fetch cost,
+    which in this environment (~0.5 s, variable) can exceed the device time
+    of a nominal workload."""
+    t_lo = _median_time(lambda i: fn(lo, i), iters)
+    t_hi = _median_time(lambda i: fn(hi, i), iters)
+    dt = t_hi - t_lo
+    if dt <= 0:  # noise swamped the slope; fall back to the direct estimate
+        return t_hi / hi
+    return dt / (hi - lo)
 
 
 def bench_langevin(iters: int) -> dict:
@@ -55,16 +75,16 @@ def bench_langevin(iters: int) -> dict:
     from torchebm_tpu.core import GaussianMixtureEnergy
     from torchebm_tpu.samplers import LangevinDynamics
 
-    chains, steps = 10_000, 1_000
+    chains = 10_000
     key = jax.random.PRNGKey(0)
     sampler = LangevinDynamics(GaussianMixtureEnergy.eight_gaussians(), step_size=0.05)
 
-    def run(i):
-        return sampler.sample(jax.random.fold_in(key, i), dim=2, n_samples=chains, n_steps=steps)
+    def run(n, i):
+        return sampler.sample(jax.random.fold_in(key, i), dim=2, n_samples=chains, n_steps=n)
 
-    med = _median_time(run, iters)
-    return {"updates_per_s": chains * steps / med, "median_s": med,
-            "config": f"{chains} chains x {steps} steps, 8gaussians"}
+    per_step = _slope_time(run, 100_000, 3_000_000, iters)
+    return {"updates_per_s": chains / per_step, "per_step_s": per_step,
+            "config": f"{chains} chains, 8gaussians, slope over 100k->3M steps"}
 
 
 def bench_hmc_ess(iters: int) -> dict:
@@ -84,16 +104,14 @@ def bench_hmc_ess(iters: int) -> dict:
     x0, eps = hmc.warmup(key, dim=2, n_warmup=200, n_samples=chains)
     tuned = hmc.replace(step_size=eps)
 
-    def run(i):
-        return tuned.sample(
-            jax.random.fold_in(key, i), x=x0, n_steps=steps, return_trajectory=True
-        )
+    def run(n, i):
+        return tuned.sample(jax.random.fold_in(key, i), x=x0, n_steps=n)
 
-    med = _median_time(run, iters)
-    traj = run(0)
+    per_draw = _slope_time(run, steps, 8 * steps, iters)
+    traj = tuned.sample(key, x=x0, n_steps=steps, return_trajectory=True)
     ess = float(jnp.min(summarize_chains(traj)["ess"]))
-    return {"ess_per_s": ess / med, "min_ess": ess, "median_s": med,
-            "adapted_step_size": eps,
+    return {"ess_per_s": ess / (steps * per_draw), "min_ess": ess,
+            "per_draw_s": per_draw, "adapted_step_size": eps,
             "config": f"{chains} chains x {steps} draws, corr-Gaussian, dual-averaged"}
 
 
@@ -126,9 +144,12 @@ def _cd_step_factory(energy_net, data_shape, batch, k_steps, step_size,
 
     data = jax.random.normal(key, (batch, *data_shape))
 
-    def run(i):
-        k = jax.random.fold_in(key, i)
-        p, s, b, l = step(params, opt_state, buffer, data, k)
+    def run(n, i):
+        """Chain n train steps (state threaded, one fetch at the end)."""
+        p, s, b = params, opt_state, buffer
+        l = None
+        for j in range(n):
+            p, s, b, l = step(p, s, b, data, jax.random.fold_in(key, i * 100_003 + j))
         return l
 
     return run
@@ -144,8 +165,8 @@ def bench_cd_2d(iters: int) -> dict:
         MLPEnergy(hidden_dims=(128, 128)), (2,), batch=256, k_steps=10,
         step_size=0.01, persistent=False, buffer_size=0, key=key,
     )
-    med = _median_time(run, iters)
-    return {"steps_per_s": 1.0 / med, "median_s": med,
+    per_step = _slope_time(run, 5, 105, iters)
+    return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
             "config": "CD-10 Langevin negatives, MLP(128,128), batch 256, 2D"}
 
 
@@ -160,8 +181,8 @@ def bench_pcd_mnist(iters: int) -> dict:
         step_size=10.0, persistent=True, buffer_size=4096, key=key,
         clamp=(-1.0, 1.0),
     )
-    med = _median_time(run, iters)
-    return {"steps_per_s": 1.0 / med, "median_s": med,
+    per_step = _slope_time(run, 5, 55, iters)
+    return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
             "config": "PCD k=40, ConvEnergy2D, batch 64, 28x28, buffer 4096"}
 
 
@@ -198,25 +219,28 @@ def bench_flow(iters: int) -> dict:
 
     data = jax.random.normal(key, (batch, 2)) + jnp.array([2.0, 0.0])
 
-    def run_train(i):
-        p, s, l = train_step(params, opt_state, data, jax.random.fold_in(key, i))
+    def run_train(n, i):
+        p, s, l = params, opt_state, None
+        for j in range(n):
+            p, s, l = train_step(p, s, data, jax.random.fold_in(key, i * 100_003 + j))
         return l
 
-    med_train = _median_time(run_train, iters)
+    per_train = _slope_time(run_train, 5, 105, iters)
 
     flow = FlowSampler(model=field, integrator="euler", negate_velocity=True)
-    n_gen, n_steps = 4096, 50
+    n_gen = 4096
 
-    def run_gen(i):
-        return flow.sample(jax.random.fold_in(key, i), dim=2, n_samples=n_gen, n_steps=n_steps)
+    def run_gen(n, i):
+        return flow.sample(jax.random.fold_in(key, i), dim=2, n_samples=n_gen, n_steps=n)
 
-    med_gen = _median_time(run_gen, iters)
+    per_ode_step = _slope_time(run_gen, 50, 2_000, iters)
+    med_gen = 50 * per_ode_step  # the nominal 50-step generation
     return {
-        "train_steps_per_s": 1.0 / med_train,
+        "train_steps_per_s": 1.0 / per_train,
         "gen_samples_per_s": n_gen / med_gen,
-        "median_train_s": med_train,
-        "median_gen_s": med_gen,
-        "config": f"EqM+Sinkhorn batch {batch}; ODE euler {n_steps} steps x {n_gen}",
+        "per_train_step_s": per_train,
+        "per_ode_step_s": per_ode_step,
+        "config": f"EqM+Sinkhorn batch {batch}; ODE euler 50 steps x {n_gen}",
     }
 
 

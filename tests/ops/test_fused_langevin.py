@@ -72,3 +72,18 @@ def test_chain_kernels_stationary(key):
     x2 = jax.random.normal(key, (4096, 2))
     res = mixture_langevin_chain(x2, mix.means, 500, 0.05, scale=float(mix.scale))
     assert 3.5 < float(jnp.mean(jnp.linalg.norm(res, axis=-1))) < 4.5
+
+
+@pytest.mark.skipif(not ON_TPU, reason="whole-run HMC kernel requires TPU hardware")
+def test_hmc_kernel_stationary(key):
+    from torchebm_tpu.core import GaussianMixtureEnergy
+    from torchebm_tpu.ops import mixture_hmc_chain
+
+    mix = GaussianMixtureEnergy.eight_gaussians()
+    x0 = mix.sample(key, 4096)
+    samples, acc = mixture_hmc_chain(
+        x0, mix.means, 300, 0.3, 8, scale=float(mix.scale), seed=11
+    )
+    assert samples.shape == (4096, 2) and acc.shape == (4096,)
+    assert 3.6 < float(jnp.mean(jnp.linalg.norm(samples, axis=-1))) < 4.4
+    assert 0.5 < float(jnp.mean(acc)) <= 1.0

@@ -109,3 +109,94 @@ def test_rmhmc_validation():
         RiemannianManifoldHMC(e, metric_fn=None)
     with pytest.raises(TypeError):
         RiemannianManifoldHMC(e, metric_fn=_identity_metric, integrator="leapfrog")
+
+
+class TestFusedDispatch:
+    """Eager TPU calls on 2D mixtures route to the whole-run Pallas HMC kernel
+    (stubbed here — real-kernel tests live in tests/ops/test_fused_langevin.py)."""
+
+    def _stub(self, calls):
+        def stub(x0, means, n_draws, step_size, n_leapfrog, *, scale, log_weights, seed):
+            calls.append((x0.shape, means.shape, n_draws, step_size, n_leapfrog))
+            return x0, jnp.ones(x0.shape[0])
+        return stub
+
+    def test_force_routes_mixture(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        calls = []
+        monkeypatch.setattr(fh, "mixture_hmc_chain", self._stub(calls))
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        hmc = HamiltonianMonteCarlo(mix, step_size=0.3, n_leapfrog_steps=7, fused="force")
+        out = hmc.sample(key, dim=2, n_samples=32, n_steps=9)
+        assert calls == [((32, 2), (8, 2), 9, 0.3, 7)]
+        assert out.shape == (32, 2)
+
+    def test_auto_never_dispatches_on_cpu(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("fused HMC kernel called on CPU under 'auto'")
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain", boom)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        hmc = HamiltonianMonteCarlo(mix, step_size=0.3, fused="auto")
+        assert hmc.sample(key, dim=2, n_samples=8, n_steps=3).shape == (8, 2)
+
+    @pytest.mark.parametrize(
+        "mk",
+        [
+            dict(return_trajectory=True),
+            dict(return_diagnostics=True),
+        ],
+    )
+    def test_unsupported_features_fall_back(self, key, monkeypatch, mk):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("must not dispatch")
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain", boom)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        hmc = HamiltonianMonteCarlo(mix, step_size=0.3, fused="force")
+        hmc.sample(key, dim=2, n_samples=8, n_steps=3, **mk)
+
+    def test_mass_and_nonmixture_fall_back(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("must not dispatch")
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain", boom)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        HamiltonianMonteCarlo(mix, step_size=0.3, mass=2.0, fused="force").sample(
+            key, dim=2, n_samples=4, n_steps=2
+        )
+        HamiltonianMonteCarlo(DoubleWellEnergy(), step_size=0.1, fused="force").sample(
+            key, dim=2, n_samples=4, n_steps=2
+        )
+
+    def test_traced_calls_fall_back(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("must not dispatch under trace")
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain", boom)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        hmc = HamiltonianMonteCarlo(mix, step_size=0.3, fused="force")
+
+        @jax.jit
+        def run(k):
+            return hmc.sample(k, dim=2, n_samples=4, n_steps=2)
+
+        assert run(key).shape == (4, 2)
+
+    def test_invalid_flag_raises(self):
+        with pytest.raises(ValueError, match="fused"):
+            HamiltonianMonteCarlo(DoubleWellEnergy(), fused="always")

@@ -247,6 +247,16 @@ class GaussianMixtureEnergy(Energy):
         comp_logp = self.log_weights - 0.5 * sq / (self.scale**2) - log_norm
         return -jax.scipy.special.logsumexp(comp_logp, axis=-1)
 
+    def gradient(self, x: Array) -> Array:
+        r"""Analytic :math:`\nabla E = (x - \sum_k r_k(x)\,\mu_k)/\sigma^2` with
+        softmax responsibilities :math:`r_k` — one forward pass instead of the
+        logsumexp VJP (the responsibility matmul rides the MXU)."""
+        x = _atleast_batch(x)
+        diff = x[:, None, :] - self.means[None, :, :]  # (B, K, d)
+        logits = self.log_weights - 0.5 * jnp.sum(diff * diff, axis=-1) / (self.scale**2)
+        resp = jax.nn.softmax(logits, axis=-1)  # (B, K)
+        return (x - resp @ self.means) / (self.scale**2)
+
     def sample(self, key: Array, n: int) -> Array:
         """Exact i.i.d. draws — ground truth for sampler statistics tests."""
         kc, kn = jax.random.split(key)

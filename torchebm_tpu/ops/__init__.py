@@ -1,10 +1,13 @@
 """Pallas TPU kernels (the reference's ``torchebm/cuda`` layer, TPU-native).
 
-Like the reference (``cuda/__init__.py:8``, ``__all__ = []``), the kernels are
-hand-wired where wanted, not auto-dispatched: import them explicitly from
-:mod:`torchebm_tpu.ops.fused_langevin`.
+The whole-chain kernels are auto-dispatched by the samplers on eager TPU
+calls with supported analytic energies (``LangevinDynamics(fused="auto")``,
+``HamiltonianMonteCarlo(fused="auto")``); everything is also importable
+directly for hand-wired use, mirroring the reference's explicit-import stance
+(``cuda/__init__.py:8``).
 """
 
+from .fused_hmc import mixture_hmc_chain
 from .fused_langevin import (
     doublewell_langevin_chain,
     fused_langevin_step,
@@ -15,4 +18,5 @@ __all__ = [
     "fused_langevin_step",
     "doublewell_langevin_chain",
     "mixture_langevin_chain",
+    "mixture_hmc_chain",
 ]

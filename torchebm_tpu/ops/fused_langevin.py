@@ -78,6 +78,44 @@ def _normal_from_bits(shape) -> Array:
     return _normal_pair_from_bits(shape)[0]
 
 
+def _uniform_from_bits(shape) -> Array:
+    """Uniforms in [0, 1) from the top 24 bits of one draw."""
+    b = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    i = pltpu.bitcast(b >> 8, jnp.int32).astype(jnp.float32)
+    return i * (1.0 / (1 << 24))
+
+
+def _mixture_grad_logp(xx, yy, means, logw, inv_var, n_components):
+    r"""Shared in-kernel 2D isotropic-mixture math on (8, L) coordinate blocks.
+
+    Returns ``(gx, gy, logp)``: the energy gradient via softmax
+    responsibilities and the unnormalized log-density
+    :math:`\log\sum_k e^{\text{logit}_k}` (:math:`-E` up to a constant that
+    cancels in Metropolis ratios). ``means``/``logw`` are the packed
+    (8, K_pad) tile: rows [mx, my, logw].
+    """
+    logits = []
+    for k in range(n_components):
+        dx = xx - means[0, k]
+        dy = yy - means[1, k]
+        logits.append(logw[2, k] - 0.5 * inv_var * (dx * dx + dy * dy))
+    m = logits[0]
+    for k in range(1, n_components):
+        m = jnp.maximum(m, logits[k])
+    num_x = jnp.zeros_like(xx)
+    num_y = jnp.zeros_like(xx)
+    den = jnp.zeros_like(xx)
+    for k in range(n_components):
+        w = jnp.exp(logits[k] - m)
+        den = den + w
+        num_x = num_x + w * means[0, k]
+        num_y = num_y + w * means[1, k]
+    inv_den = 1.0 / den
+    gx = (xx - num_x * inv_den) * inv_var
+    gy = (yy - num_y * inv_den) * inv_var
+    return gx, gy, m + jnp.log(den)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -253,27 +291,7 @@ def _mixture_chain_kernel(seed_ref, x_ref, means_ref, logw_ref, out_ref, *,
     def body(_, x):
         xx = x[0:8, :]
         yy = x[8:16, :]
-        # component log-weights: logw_k - ||x - mu_k||^2 / (2 sigma^2)
-        logits = []
-        for k in range(n_components):
-            dx = xx - means[0, k]
-            dy = yy - means[1, k]
-            logits.append(logw[2, k] - 0.5 * inv_var * (dx * dx + dy * dy))
-        m = logits[0]
-        for k in range(1, n_components):
-            m = jnp.maximum(m, logits[k])
-        num_x = jnp.zeros_like(xx)
-        num_y = jnp.zeros_like(xx)
-        den = jnp.zeros_like(xx)
-        for k in range(n_components):
-            w = jnp.exp(logits[k] - m)
-            den = den + w
-            num_x = num_x + w * means[0, k]
-            num_y = num_y + w * means[1, k]
-        inv_den = 1.0 / den
-        # grad E = (x - E_resp[mu]) / sigma^2
-        gx = (xx - num_x * inv_den) * inv_var
-        gy = (yy - num_y * inv_den) * inv_var
+        gx, gy, _ = _mixture_grad_logp(xx, yy, means, logw, inv_var, n_components)
         ex, ey = _normal_pair_from_bits(xx.shape)
         new_x = xx - step_size * gx + noise_coef * ex
         new_y = yy - step_size * gy + noise_coef * ey

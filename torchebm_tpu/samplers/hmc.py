@@ -23,9 +23,13 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.energies import Energy
+from ..core.energies import Energy, GaussianMixtureEnergy
 from ..core.schedulers import BaseScheduler, sched_init, sched_value
-from ..integrators import BaseSymplecticIntegrator, resolve_integrator
+from ..integrators import (
+    BaseSymplecticIntegrator,
+    LeapfrogIntegrator,
+    resolve_integrator,
+)
 from .base import BaseSampler
 
 Array = jax.Array
@@ -88,10 +92,15 @@ class HamiltonianMonteCarlo(BaseSampler):
     integrator: BaseSymplecticIntegrator = None
     dual_averaging: bool = struct.field(pytree_node=False, default=False)
     target_accept: float = struct.field(pytree_node=False, default=0.8)
+    fused: str = struct.field(pytree_node=False, default="auto")
 
     def __post_init__(self):
         if self.n_leapfrog_steps <= 0:
             raise ValueError("n_leapfrog_steps must be positive")
+        if self.fused not in ("auto", "off", "force"):
+            raise ValueError(
+                f"fused must be 'auto', 'off' or 'force', got {self.fused!r}"
+            )
         integ = resolve_integrator(
             self.integrator, default="leapfrog", families=("symplectic",)
         )
@@ -165,6 +174,87 @@ class HamiltonianMonteCarlo(BaseSampler):
 
     def extra_diagnostics(self, carry, model_kwargs):
         return {"acceptance_rate": carry["accept_rate"]}
+
+    # -------------------------------------------------------- fused fast path
+
+    def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs) -> bool:
+        """Whether this exact call maps onto the whole-run Pallas HMC kernel
+        (:func:`torchebm_tpu.ops.fused_hmc.mixture_hmc_chain`).
+
+        Same conservative stance as :class:`LangevinDynamics`: eager
+        single-program TPU calls only, default leapfrog, unit mass, constant
+        step size, no trajectory/diagnostics/conditioning, 2D isotropic
+        :class:`GaussianMixtureEnergy`. ``fused="off"`` disables; ``"force"``
+        skips the TPU-backend check (kernel-stub tests).
+        """
+        if self.fused == "off":
+            return False
+        if self.fused != "force" and jax.default_backend() != "tpu":
+            return False
+        if return_trajectory or return_diagnostics or model_kwargs:
+            return False
+        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
+            return False
+        if type(self.integrator) is not LeapfrogIntegrator:
+            return False
+        if not isinstance(self.step_size, (int, float)):
+            return False
+        if self.mass is not None:
+            return False
+        if type(self.model) is not GaussianMixtureEnergy:
+            return False
+        if isinstance(self.model.means, jax.core.Tracer):
+            return False
+        return self.model.means.shape[-1] == 2
+
+    def sample(
+        self,
+        key: Array,
+        x: Optional[Array] = None,
+        dim=None,
+        n_steps: int = 100,
+        n_samples: int = 1,
+        thin: int = 1,
+        return_trajectory: bool = False,
+        return_diagnostics: bool = False,
+        *,
+        model_kwargs=None,
+    ):
+        """Run the chain; eager TPU calls on supported analytic mixture
+        energies dispatch to the whole-run Pallas kernel in
+        :mod:`torchebm_tpu.ops.fused_hmc` (momentum refresh, leapfrog and
+        Metropolis test all VMEM-resident), everything else to the shared
+        compiled scan."""
+        if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
+            from ..ops import fused_hmc as ops
+
+            key_init, key_run = jax.random.split(key)
+            x0 = self._init_state(key_init, x, dim, n_samples)
+            if x0.ndim == 2 and x0.shape[-1] == 2:
+                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+                samples, _ = ops.mixture_hmc_chain(
+                    x0,
+                    self.model.means,
+                    n_steps,
+                    float(self.step_size),
+                    self.n_leapfrog_steps,
+                    scale=float(self.model.scale),
+                    log_weights=self.model.log_weights,
+                    seed=seed,
+                )
+                return samples
+            # unsupported state shape: fall through to the scan path
+        return super().sample(
+            key,
+            x=x,
+            dim=dim,
+            n_steps=n_steps,
+            n_samples=n_samples,
+            thin=thin,
+            return_trajectory=return_trajectory,
+            return_diagnostics=return_diagnostics,
+            model_kwargs=model_kwargs,
+        )
 
     # ---------------------------------------------------------------- warmup
 
