@@ -41,16 +41,27 @@ def run_at(n_devices: int, chains: int, steps: int, iters: int) -> float:
     key = jax.random.PRNGKey(0)
     x0 = shard_batch(jax.random.normal(key, (chains, 2)), mesh)
 
-    def run(i):
-        return sampler.sample(jax.random.fold_in(key, i), x=x0, n_steps=steps)
+    import numpy as np
 
-    jax.block_until_ready(run(0))  # compile
-    times = []
-    for i in range(1, iters + 1):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(i))
-        times.append(time.perf_counter() - t0)
-    return chains * steps / statistics.median(times)
+    def run(n, i):
+        return sampler.sample(jax.random.fold_in(key, i), x=x0, n_steps=n)
+
+    def med(n):
+        # host-fetch fence: under the axon tunnel block_until_ready can
+        # return before the remote computation finishes
+        np.asarray(run(n, 0))  # compile + warmup
+        times = []
+        for i in range(1, iters + 1):
+            t0 = time.perf_counter()
+            np.asarray(run(n, i))
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times)
+
+    # two-point slope cancels the fixed per-call round-trip + fetch cost
+    dt = med(5 * steps) - med(steps)
+    if dt <= 0:
+        dt = med(5 * steps) / 5
+    return chains * 4 * steps / dt
 
 
 def main() -> int:

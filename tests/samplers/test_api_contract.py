@@ -15,6 +15,7 @@ from torchebm_tpu.samplers import (
     GradientDescentSampler,
     HamiltonianMonteCarlo,
     LangevinDynamics,
+    MetropolisAdjustedLangevin,
     NesterovSampler,
     ParallelTemperingLangevin,
     RiemannianManifoldHMC,
@@ -40,6 +41,8 @@ CASES = [
     Case("hmc", lambda: HamiltonianMonteCarlo(ENERGY, step_size=0.1, n_leapfrog_steps=3),
          ("mean", "var", "energy", "acceptance_rate")),
     Case("rmhmc", lambda: RiemannianManifoldHMC(ENERGY, metric_fn=_identity_metric, step_size=0.1, n_leapfrog_steps=2),
+         ("mean", "var", "energy", "acceptance_rate")),
+    Case("mala", lambda: MetropolisAdjustedLangevin(ENERGY, step_size=0.05),
          ("mean", "var", "energy", "acceptance_rate")),
     Case("gd", lambda: GradientDescentSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
     Case("nesterov", lambda: NesterovSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),

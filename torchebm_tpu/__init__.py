@@ -99,6 +99,7 @@ _LAZY_SYMBOLS = {
     "resolve_coupling": "couplings",
     # samplers
     "LangevinDynamics": "samplers",
+    "MetropolisAdjustedLangevin": "samplers",
     "HamiltonianMonteCarlo": "samplers",
     "RiemannianManifoldHMC": "samplers",
     "GradientDescentSampler": "samplers",

@@ -13,6 +13,7 @@ from .diagnostics import (
 from .gradient_descent import GradientDescentSampler, NesterovSampler
 from .hmc import DualAveragingState, HamiltonianMonteCarlo, dual_averaging_update
 from .langevin import LangevinDynamics
+from .mala import MetropolisAdjustedLangevin
 from .parallel_tempering import ParallelTemperingLangevin
 from .rmhmc import RiemannianManifoldHMC
 
@@ -21,6 +22,7 @@ __all__ = [
     "FlowSampler",
     "PredictionType",
     "LangevinDynamics",
+    "MetropolisAdjustedLangevin",
     "ParallelTemperingLangevin",
     "HamiltonianMonteCarlo",
     "RiemannianManifoldHMC",
