@@ -100,6 +100,8 @@ _LAZY_SYMBOLS = {
     # samplers
     "LangevinDynamics": "samplers",
     "MetropolisAdjustedLangevin": "samplers",
+    "AISResult": "samplers",
+    "annealed_importance_sampling": "samplers",
     "HamiltonianMonteCarlo": "samplers",
     "RiemannianManifoldHMC": "samplers",
     "GradientDescentSampler": "samplers",

@@ -200,6 +200,20 @@ class GaussianEnergy(Energy):
         delta = x - self.mean
         return delta @ self.cov_inv.T  # symmetric, .T for clarity
 
+    def sample(self, key: Array, n: int) -> Array:
+        """Exact i.i.d. draws via Cholesky — ground truth for sampler tests
+        and the tractable base distribution for AIS log-Z estimation."""
+        chol = jnp.linalg.cholesky(self.cov)
+        eps = jax.random.normal(key, (n, self.mean.shape[0]), self.mean.dtype)
+        return self.mean + eps @ chol.T
+
+    def log_z(self) -> Array:
+        r"""Exact log partition function :math:`\tfrac d2\log 2\pi +
+        \tfrac12\log|\Sigma|` of :math:`e^{-E}`."""
+        d = self.mean.shape[0]
+        sign, logdet = jnp.linalg.slogdet(self.cov)
+        return 0.5 * d * math.log(2 * math.pi) + 0.5 * logdet
+
 
 @struct.dataclass
 class GaussianMixtureEnergy(Energy):

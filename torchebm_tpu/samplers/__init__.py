@@ -4,6 +4,7 @@ Mirrors ``torchebm/samplers/__init__.py:10-21`` plus build additions
 (dual-averaging warmup, R̂/ESS diagnostics).
 """
 
+from .ais import AISResult, annealed_importance_sampling
 from .base import BaseSampler
 from .diagnostics import (
     effective_sample_size,
@@ -18,6 +19,8 @@ from .parallel_tempering import ParallelTemperingLangevin
 from .rmhmc import RiemannianManifoldHMC
 
 __all__ = [
+    "AISResult",
+    "annealed_importance_sampling",
     "BaseSampler",
     "FlowSampler",
     "PredictionType",
