@@ -299,6 +299,49 @@ class FlowSampler(BaseSampler):
             jnp.square(z).reshape(z.shape[0], -1), axis=-1
         ) / 2.0
 
+    def log_prob(
+        self,
+        x: Array,
+        *,
+        key: Optional[Array] = None,
+        n_steps: int = 100,
+        hutchinson: Optional[bool] = None,
+        n_probes: int = 1,
+        model_kwargs: Optional[Dict[str, Any]] = None,
+    ) -> Array:
+        r"""Exact model log-likelihood via the probability-flow ODE.
+
+        Build addition beyond the reference (which only ships ``prior_logp``):
+        the instantaneous change of variables (Chen et al. 2018, "Neural
+        ODEs") integrated backwards from data ``x`` at :math:`t_1` to the
+        prior at :math:`t_0` with an RK4 scan,
+
+        .. math::
+            \log p_{t_1}(x) = \log p_{t_0}(x_{t_0})
+            - \int_{t_0}^{t_1} \nabla\!\cdot u(x_t, t)\,dt .
+
+        The divergence is the exact Jacobian trace (``hutchinson=False``;
+        default when the event has ≤ 8 elements, costing d forward-mode
+        passes per stage) or the unbiased Hutchinson–Rademacher estimator via
+        ``jvp`` (``hutchinson=True``; requires ``key``; ``n_probes`` probes,
+        fixed along the trajectory). ODE mode with ``reverse=False`` only.
+        """
+        if self.mode != "ode":
+            raise ValueError("log_prob requires mode='ode' (probability-flow ODE)")
+        if self.reverse:
+            raise ValueError("log_prob is defined for reverse=False flows")
+        d = math.prod(x.shape[1:])
+        if hutchinson is None:
+            hutchinson = d > 8
+        if hutchinson and key is None:
+            raise ValueError("hutchinson divergence estimation requires key=")
+        if key is None:
+            key = jax.random.PRNGKey(0)  # unused by the exact path
+        return _flow_logprob_impl(
+            self, x, key, int(n_steps), bool(hutchinson), int(n_probes),
+            model_kwargs or {},
+        )
+
     # ---------------------------------------------------------------- sample
 
     def sample(
@@ -453,3 +496,70 @@ def _flow_sample_impl(
     if return_diagnostics:
         return output, outs
     return output
+
+
+@partial(jax.jit, static_argnames=("n_steps", "hutchinson", "n_probes"))
+def _flow_logprob_impl(
+    sampler: FlowSampler,
+    x: Array,
+    key: Array,
+    n_steps: int,
+    hutchinson: bool,
+    n_probes: int,
+    model_kwargs: Dict[str, Any],
+) -> Array:
+    t0, t1 = sampler._check_interval()
+    drift = sampler._get_drift(model_kwargs)
+    batch = x.shape[0]
+    event_shape = x.shape[1:]
+    d = math.prod(event_shape)
+
+    if hutchinson:
+        # Rademacher probes, fixed along the whole trajectory (standard CNF
+        # practice: a smooth divergence estimate along the path).
+        probes = (
+            jax.random.bernoulli(key, 0.5, (n_probes, *x.shape)).astype(x.dtype) * 2.0
+            - 1.0
+        )
+
+        def div_fn(xx, t):
+            total = jnp.zeros((batch,), xx.dtype)
+            for i in range(n_probes):
+                v = probes[i]
+                _, jv = jax.jvp(lambda z: drift(z, t), (xx,), (v,))
+                total = total + jnp.sum((v * jv).reshape(batch, -1), axis=-1)
+            return total / n_probes
+
+    else:
+
+        def div_fn(xx, t):
+            def per_sample(xi_flat):
+                f = lambda z: drift(z.reshape((1, *event_shape)), t)[0].reshape(-1)
+                return jnp.trace(jax.jacfwd(f)(xi_flat))
+
+            return jax.vmap(per_sample)(xx.reshape(batch, d))
+
+    # backward RK4 on the augmented state (x, ∫ div u dt): physical time
+    # t = t1 - s, dx/ds = -u(x, t), da/ds = ∇·u(x, t).
+    span = t1 - t0
+    h = span / n_steps
+
+    def aug(xx, s):
+        t = t1 - s
+        return -drift(xx, t), div_fn(xx, t)
+
+    def rk4_step(carry, i):
+        xx, a = carry
+        s = i * h
+        k1x, k1a = aug(xx, s)
+        k2x, k2a = aug(xx + 0.5 * h * k1x, s + 0.5 * h)
+        k3x, k3a = aug(xx + 0.5 * h * k2x, s + 0.5 * h)
+        k4x, k4a = aug(xx + h * k3x, s + h)
+        xx = xx + h / 6.0 * (k1x + 2.0 * k2x + 2.0 * k3x + k4x)
+        a = a + h / 6.0 * (k1a + 2.0 * k2a + 2.0 * k3a + k4a)
+        return (xx, a), None
+
+    (z, div_int), _ = jax.lax.scan(
+        rk4_step, (x, jnp.zeros((batch,), x.dtype)), jnp.arange(n_steps)
+    )
+    return sampler.prior_logp(z) - div_int
