@@ -266,8 +266,9 @@ class HamiltonianMonteCarlo(BaseSampler):
         n_warmup: int = 500,
         n_samples: int = 1,
         *,
+        adapt_mass: bool = False,
         model_kwargs: Optional[Dict[str, Any]] = None,
-    ) -> Tuple[Array, float]:
+    ):
         """Dual-averaging warmup: returns ``(warmed x, adapted step_size)``.
 
         Runs ``n_warmup`` adaptation transitions in one compiled scan; the
@@ -276,17 +277,30 @@ class HamiltonianMonteCarlo(BaseSampler):
 
             x, eps = hmc.warmup(key, dim=2, n_warmup=500, n_samples=64)
             samples = hmc.replace(step_size=eps).sample(key2, x=x, n_steps=1000)
+
+        ``adapt_mass=True`` additionally estimates a **diagonal mass matrix**
+        Stan-style — the per-dimension posterior variance is pooled over all
+        chains and the second half of warmup (skipping the transient), and
+        the metric is its inverse, ``mass = 1/var(x)`` — and returns the
+        triple ``(warmed x, adapted step_size, mass)``::
+
+            x, eps, mass = hmc.warmup(key, dim=2, n_warmup=500, n_samples=64,
+                                      adapt_mass=True)
+            tuned = hmc.replace(step_size=eps, mass=mass)
         """
         model_kwargs = model_kwargs or {}
         key_init, key_run = jax.random.split(key)
         x0 = self._init_state(key_init, x, dim, n_samples)
         eps0 = sched_init(self.step_size)
         mu = jnp.float32(math.log(10.0 * eps0))
-        x_f, da_f = _warmup_impl(
+        x_f, da_f, var = _warmup_impl(
             self, x0, key_run, n_warmup, self.target_accept, mu,
             DualAveragingState.init(eps0), model_kwargs,
         )
-        return x_f, float(jnp.exp(da_f.log_eps_bar))
+        eps = float(jnp.exp(da_f.log_eps_bar))
+        if adapt_mass:
+            return x_f, eps, 1.0 / jnp.clip(var, 1e-8, 1e8)
+        return x_f, eps
 
 
 from functools import partial  # noqa: E402
@@ -294,13 +308,25 @@ from functools import partial  # noqa: E402
 
 @partial(jax.jit, static_argnames=("n_warmup", "target_accept"))
 def _warmup_impl(sampler, x0, key, n_warmup, target_accept, mu, da0, model_kwargs):
+    collect_from = n_warmup // 2  # skip the transient for the variance window
+
     def body(carry, i):
-        x, da = carry
+        x, da, s1, s2, n = carry
         x_new, acc = sampler._transition(
             x, jax.random.fold_in(key, i), jnp.exp(da.log_eps), model_kwargs
         )
         da = dual_averaging_update(da, acc, target_accept, mu)
-        return (x_new, da), None
+        flat = x_new.reshape(x_new.shape[0], -1)
+        take = (i >= collect_from).astype(x0.dtype)
+        s1 = s1 + take * jnp.sum(flat, axis=0)
+        s2 = s2 + take * jnp.sum(flat * flat, axis=0)
+        n = n + take * flat.shape[0]
+        return (x_new, da, s1, s2, n), None
 
-    (x_f, da_f), _ = jax.lax.scan(body, (x0, da0), jnp.arange(n_warmup))
-    return x_f, da_f
+    flat_d = x0.reshape(x0.shape[0], -1).shape[-1]
+    carry0 = (x0, da0, jnp.zeros(flat_d, x0.dtype), jnp.zeros(flat_d, x0.dtype),
+              jnp.float32(0.0))
+    (x_f, da_f, s1, s2, n), _ = jax.lax.scan(body, carry0, jnp.arange(n_warmup))
+    n = jnp.maximum(n, 2.0)
+    var = s2 / n - jnp.square(s1 / n)
+    return x_f, da_f, var.reshape(x0.shape[1:])
