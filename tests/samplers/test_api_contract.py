@@ -17,6 +17,7 @@ from torchebm_tpu.samplers import (
     LangevinDynamics,
     MetropolisAdjustedLangevin,
     NesterovSampler,
+    NoUTurnSampler,
     ParallelTemperingLangevin,
     RiemannianManifoldHMC,
 )
@@ -44,6 +45,8 @@ CASES = [
          ("mean", "var", "energy", "acceptance_rate")),
     Case("mala", lambda: MetropolisAdjustedLangevin(ENERGY, step_size=0.05),
          ("mean", "var", "energy", "acceptance_rate")),
+    Case("nuts", lambda: NoUTurnSampler(ENERGY, step_size=0.3, max_tree_depth=5),
+         ("mean", "var", "energy", "acceptance_rate", "tree_depth")),
     Case("gd", lambda: GradientDescentSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
     Case("nesterov", lambda: NesterovSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
     Case("pt_langevin",

@@ -100,6 +100,7 @@ _LAZY_SYMBOLS = {
     # samplers
     "LangevinDynamics": "samplers",
     "MetropolisAdjustedLangevin": "samplers",
+    "NoUTurnSampler": "samplers",
     "AISResult": "samplers",
     "annealed_importance_sampling": "samplers",
     "HamiltonianMonteCarlo": "samplers",

@@ -15,6 +15,7 @@ from .gradient_descent import GradientDescentSampler, NesterovSampler
 from .hmc import DualAveragingState, HamiltonianMonteCarlo, dual_averaging_update
 from .langevin import LangevinDynamics
 from .mala import MetropolisAdjustedLangevin
+from .nuts import NoUTurnSampler
 from .parallel_tempering import ParallelTemperingLangevin
 from .rmhmc import RiemannianManifoldHMC
 
@@ -26,6 +27,7 @@ __all__ = [
     "PredictionType",
     "LangevinDynamics",
     "MetropolisAdjustedLangevin",
+    "NoUTurnSampler",
     "ParallelTemperingLangevin",
     "HamiltonianMonteCarlo",
     "RiemannianManifoldHMC",
