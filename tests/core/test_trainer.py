@@ -151,3 +151,115 @@ def test_epoch_loop_and_callbacks(mlp, key):
 def test_validation():
     with pytest.raises(ValueError):
         BaseTrainer(lambda *a, **k: 0.0, optax.sgd(0.1), grad_accum_steps=0)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume (reference base_trainer.py:312-350)
+# ---------------------------------------------------------------------------
+
+
+def _tree_equal(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return len(leaves_a) == len(leaves_b) and all(
+        bool(jnp.all(jnp.asarray(x) == jnp.asarray(y)))
+        for x, y in zip(leaves_a, leaves_b)
+    )
+
+
+def _make_pcd_trainer(mlp, key):
+    energy, params = mlp
+    cd = ContrastiveDivergence(
+        model=energy,
+        sampler=LangevinDynamics(energy, step_size=0.01),
+        k_steps=3,
+        persistent=True,
+        buffer_size=64,
+        init_steps=0,
+    )
+    trainer = ContrastiveDivergenceTrainer(cd, learning_rate=1e-3, ema_decay=0.9)
+    buf = cd.init_buffer(key, (2,))
+    state = trainer.init_state(params, key, loss_state=buf)
+    return trainer, state, params
+
+
+def test_checkpoint_roundtrip_bitwise(mlp, key, tmp_path):
+    """Train 5 steps -> save -> restore: every leaf (params, optimizer, EMA,
+    step, PRNG key, PCD replay buffer) comes back bitwise identical."""
+    trainer, state, params = _make_pcd_trainer(mlp, key)
+    batches = [jax.random.normal(jax.random.fold_in(key, 100 + i), (16, 2)) for i in range(5)]
+    for b in batches:
+        state, _ = trainer.train_step(state, b)
+
+    # snapshot before save: train_step donates, so keep an undonated copy
+    snap = jax.tree_util.tree_map(jnp.array, state)
+    trainer.save(state, str(tmp_path))
+
+    template = trainer.init_state(params, key, loss_state=snap.loss_state)
+    restored = trainer.restore(str(tmp_path), template)
+
+    assert int(restored.step) == 5
+    assert _tree_equal(restored.params, snap.params)
+    assert _tree_equal(restored.opt_state, snap.opt_state)
+    assert _tree_equal(restored.ema_params, snap.ema_params)
+    assert bool(jnp.all(restored.key == snap.key))
+    assert bool(jnp.all(restored.loss_state.samples == snap.loss_state.samples))
+    assert int(restored.loss_state.ptr) == int(snap.loss_state.ptr)
+    # restored state still steps and is a real TrainState pytree
+    restored2, m = trainer.train_step(restored, batches[0])
+    assert int(restored2.step) == 6 and jnp.isfinite(m["loss"])
+
+
+def test_resume_training_parity(mlp, key, tmp_path):
+    """5 steps -> checkpoint -> 3 more must equal 8 uninterrupted steps bitwise
+    (the PRNG key rides in the state, so the stream continues exactly)."""
+    batches = [jax.random.normal(jax.random.fold_in(key, 200 + i), (16, 2)) for i in range(8)]
+
+    trainer_a, state_a, _ = _make_pcd_trainer(mlp, key)
+    for b in batches:
+        state_a, _ = trainer_a.train_step(state_a, b)
+
+    trainer_b, state_b, params = _make_pcd_trainer(mlp, key)
+    for b in batches[:5]:
+        state_b, _ = trainer_b.train_step(state_b, b)
+    trainer_b.save(state_b, str(tmp_path))
+
+    template = trainer_b.init_state(
+        params, key, loss_state=trainer_b.loss_fn.init_buffer(key, (2,))
+    )
+    resumed = trainer_b.restore(str(tmp_path), template)
+    for b in batches[5:]:
+        resumed, _ = trainer_b.train_step(resumed, b)
+
+    assert int(resumed.step) == int(state_a.step) == 8
+    assert _tree_equal(resumed.params, state_a.params)
+    assert _tree_equal(resumed.ema_params, state_a.ema_params)
+    assert bool(jnp.all(resumed.loss_state.samples == state_a.loss_state.samples))
+
+
+def test_restore_or_init(mlp, key, tmp_path):
+    trainer, state, params = _make_pcd_trainer(mlp, key)
+    buf = trainer.loss_fn.init_buffer(key, (2,))
+    # no checkpoint yet -> fresh state
+    fresh = trainer.restore_or_init(str(tmp_path), params, key, loss_state=buf)
+    assert int(fresh.step) == 0
+    for i in range(2):
+        fresh, _ = trainer.train_step(fresh, jnp.ones((8, 2)))
+    trainer.save(fresh, str(tmp_path))
+    resumed = trainer.restore_or_init(str(tmp_path), params, key, loss_state=buf)
+    assert int(resumed.step) == 2
+
+
+def test_train_loop_writes_checkpoints(mlp, key, tmp_path):
+    from torchebm_tpu.utils.training import latest_checkpoint_step
+
+    energy, params = mlp
+    dsm = DenoisingScoreMatching(model=energy, noise_scale=0.3)
+    trainer = BaseTrainer(dsm, optax.adam(1e-3))
+    state = trainer.init_state(params, key)
+    data = jax.random.normal(key, (64, 2))
+    state, _ = trainer.train(
+        state, epochs=2, batch_iter_fn=lambda e: [data[:32], data[32:]],
+        ckpt_dir=str(tmp_path),
+    )
+    assert latest_checkpoint_step(str(tmp_path)) == 4

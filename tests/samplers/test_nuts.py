@@ -110,5 +110,37 @@ def test_contract_shapes(key):
         return_trajectory=True, return_diagnostics=True,
     )
     assert traj.shape == (4, 3, 2)
-    assert set(diag) == {"mean", "var", "energy", "acceptance_rate", "tree_depth"}
+    assert set(diag) == {
+        "mean", "var", "energy", "acceptance_rate", "tree_depth", "divergence_rate"
+    }
     assert diag["tree_depth"].shape == (3,)
+
+
+def test_divergence_rate_surfaced(key):
+    """A pathologically large step size must report divergences; a sane one
+    must report (near) zero."""
+    e = GaussianEnergy.standard(2)
+    _, diag_bad = NoUTurnSampler(e, step_size=50.0).sample(
+        key, dim=2, n_samples=64, n_steps=20, return_diagnostics=True
+    )
+    _, diag_ok = NoUTurnSampler(e, step_size=0.3).sample(
+        key, dim=2, n_samples=64, n_steps=20, return_diagnostics=True
+    )
+    assert float(jnp.mean(diag_bad["divergence_rate"])) > 0.5
+    assert float(jnp.mean(diag_ok["divergence_rate"])) < 0.05
+
+
+def test_warmup_adapt_mass(key):
+    """Mass adaptation on an anisotropic Gaussian recovers ~1/var per dim."""
+    cov = jnp.diag(jnp.array([1.0, 25.0]))
+    nuts = NoUTurnSampler(GaussianEnergy.create(jnp.zeros(2), cov), step_size=0.5)
+    x, eps, mass = nuts.warmup(
+        key, dim=2, n_warmup=300, n_samples=128, adapt_mass=True
+    )
+    assert mass.shape == (2,)
+    # mass ~ 1/variance: dim 0 near 1, dim 1 near 1/25
+    assert 0.4 < float(mass[0]) < 2.5
+    assert 0.015 < float(mass[1]) < 0.12
+    tuned = nuts.replace(step_size=eps, mass=mass)
+    out = tuned.sample(jax.random.fold_in(key, 1), x=x, n_steps=200)
+    np.testing.assert_allclose(jnp.var(out, 0), jnp.array([1.0, 25.0]), rtol=0.3)

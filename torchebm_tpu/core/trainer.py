@@ -29,7 +29,12 @@ from flax import struct
 
 from ..losses.base import BaseLoss
 from ..losses.contrastive_divergence import ContrastiveDivergence, ReplayBuffer
-from ..utils.training import update_ema
+from ..utils.training import (
+    latest_checkpoint_step,
+    load_checkpoint,
+    save_checkpoint,
+    update_ema,
+)
 
 Array = jax.Array
 
@@ -191,15 +196,87 @@ class BaseTrainer:
         state: TrainState,
         epochs: int,
         batch_iter_fn: Callable[[int], Iterable[Any]],
+        *,
+        ckpt_dir: Optional[str] = None,
+        ckpt_every_epochs: int = 1,
     ) -> Tuple[TrainState, list]:
-        """Multi-epoch driver: ``batch_iter_fn(epoch)`` yields an epoch's batches."""
+        """Multi-epoch driver: ``batch_iter_fn(epoch)`` yields an epoch's batches.
+
+        With ``ckpt_dir`` set, a step-numbered checkpoint is written every
+        ``ckpt_every_epochs`` epochs (and after the final one); resume with
+        :meth:`restore` (reference ``base_trainer.py:199-350``).
+        """
         self._fire("on_train_start", state)
         history = []
         for epoch in range(epochs):
             state, metrics = self.train_epoch(state, batch_iter_fn(epoch))
             history.append(metrics)
+            if ckpt_dir is not None and (
+                (epoch + 1) % max(ckpt_every_epochs, 1) == 0 or epoch == epochs - 1
+            ):
+                self.save(state, ckpt_dir)
         self._fire("on_train_end", state, history)
         return state, history
+
+    # ------------------------------------------------------- checkpointing
+
+    def save(self, state: TrainState, ckpt_dir: str) -> str:
+        """Write the full :class:`TrainState` (params / optimizer / EMA / step /
+        PRNG key / loss state, e.g. the PCD replay buffer) as a step-numbered
+        Orbax checkpoint. Reference ``base_trainer.py:312-331``."""
+        return save_checkpoint(
+            ckpt_dir,
+            int(state.step),
+            state.params,
+            ema_params=state.ema_params,
+            opt_state=state.opt_state,
+            extra={"key": state.key, "loss_state": state.loss_state},
+        )
+
+    def restore(
+        self,
+        ckpt_dir: str,
+        template: TrainState,
+        step: Optional[int] = None,
+    ) -> TrainState:
+        """Load a checkpoint back into a :class:`TrainState`.
+
+        ``template`` supplies the pytree structure (struct dataclasses,
+        optax named-tuples) the stored arrays are poured into — pass the state
+        from :meth:`init_state` (or any same-shaped state). ``step=None``
+        restores the latest checkpoint. Reference ``base_trainer.py:333-350``.
+        """
+        payload_t = {
+            "step": 0,
+            "params": template.params,
+            "opt_state": template.opt_state,
+            "extra": {"key": template.key, "loss_state": template.loss_state},
+        }
+        if template.ema_params is not None:
+            payload_t["ema_params"] = template.ema_params
+        payload = load_checkpoint(ckpt_dir, step, template=payload_t)
+        return TrainState(
+            params=payload["params"],
+            opt_state=payload["opt_state"],
+            step=jnp.int32(payload["step"]),
+            key=payload["extra"]["key"],
+            ema_params=payload.get("ema_params"),
+            loss_state=payload["extra"]["loss_state"],
+        )
+
+    def restore_or_init(
+        self,
+        ckpt_dir: str,
+        params: Any,
+        key: Array,
+        loss_state: Any = None,
+    ) -> TrainState:
+        """Resume from the latest checkpoint under ``ckpt_dir`` if one exists,
+        else build a fresh state — the standard preemption-safe entry point."""
+        template = self.init_state(params, key, loss_state)
+        if latest_checkpoint_step(ckpt_dir) is None:
+            return template
+        return self.restore(ckpt_dir, template)
 
 
 class ContrastiveDivergenceTrainer(BaseTrainer):

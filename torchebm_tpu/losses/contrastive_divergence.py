@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.energies import Energy
+from ..core.module import warn_once
 from ..samplers.base import BaseSampler
 from .base import BaseLoss, inject_params
 
@@ -107,15 +108,60 @@ class ContrastiveDivergence(BaseLoss):
             chunk = min(self.buffer_size, chunk_size)
             updated = []
             for i in range(0, self.buffer_size, chunk):
-                updated.append(
-                    sampler.sample(
+                noise_chunk = samples[i : i + chunk]
+                # Per-chunk failure fallback: a sampler error (bad params, OOM,
+                # transient backend fault) keeps that chunk's noise instead of
+                # aborting buffer init (reference base_loss.py:216-226).
+                try:
+                    out = sampler.sample(
                         jax.random.fold_in(k_warm, i),
-                        x=samples[i : i + chunk],
+                        x=noise_chunk,
                         n_steps=self.init_steps,
                     )
-                )
+                    if out.shape != noise_chunk.shape:
+                        warn_once(
+                            "cd-init-buffer-shape",
+                            "Sampler output shape mismatch during buffer init: "
+                            f"expected {noise_chunk.shape}, got {out.shape}. "
+                            f"Keeping noise for chunk {i}-{i + noise_chunk.shape[0]}.",
+                            RuntimeWarning,
+                        )
+                        out = noise_chunk
+                except Exception as e:  # noqa: BLE001 - mirror reference catch-all
+                    warn_once(
+                        "cd-init-buffer-error",
+                        f"Error during buffer warm-up sampling for chunk "
+                        f"{i}-{i + noise_chunk.shape[0]}: {e}. Keeping noise.",
+                        RuntimeWarning,
+                    )
+                    out = noise_chunk
+                updated.append(out)
             samples = jnp.concatenate(updated, axis=0)
         return ReplayBuffer(samples=samples, ptr=jnp.int32(0))
+
+    def get_negative_samples(
+        self,
+        key: Array,
+        batch_size: int,
+        data_shape: Tuple[int, ...],
+        buffer: Optional[ReplayBuffer] = None,
+    ) -> Array:
+        """Standalone negatives draw outside a loss call (eval/visualization).
+
+        Reference ``base_loss.py:301-350``: non-persistent CD (or a missing
+        buffer) returns ``N(0, I)`` noise; PCD mixes ``new_sample_ratio`` fresh
+        noise rows with uniform random replay-buffer draws.
+        """
+        if not self.persistent or buffer is None:
+            return jax.random.normal(key, (batch_size, *data_shape), jnp.float32)
+        n_new = max(1, int(batch_size * self.new_sample_ratio))
+        n_old = batch_size - n_new
+        k_noise, k_idx = jax.random.split(key)
+        fresh = jax.random.normal(k_noise, (n_new, *data_shape), jnp.float32)
+        if n_old <= 0:
+            return fresh
+        indices = jax.random.randint(k_idx, (n_old,), 0, buffer.size)
+        return jnp.concatenate([fresh, buffer.samples[indices]], axis=0)
 
     def _start_points(self, x: Array, buffer: Optional[ReplayBuffer], key: Array) -> Array:
         """Data starts (CD) or stratified buffer draws + exploration noise (PCD)

@@ -285,21 +285,24 @@ class NoUTurnSampler(BaseSampler):
             "x": x0,
             "accept_rate": jnp.float32(0.0),
             "tree_depth": jnp.float32(0.0),
+            "divergence_rate": jnp.float32(0.0),
         }
 
     def step(self, carry, i, key, model_kwargs):
         eps = sched_value(self.step_size, i)
-        x_new, acc, depth, _ = self._transition_batch(carry["x"], key, eps, model_kwargs)
+        x_new, acc, depth, div = self._transition_batch(carry["x"], key, eps, model_kwargs)
         out = dict(carry)
         out["x"] = x_new
         out["accept_rate"] = acc
         out["tree_depth"] = depth
+        out["divergence_rate"] = div
         return out
 
     def extra_diagnostics(self, carry, model_kwargs):
         return {
             "acceptance_rate": carry["accept_rate"],
             "tree_depth": carry["tree_depth"],
+            "divergence_rate": carry["divergence_rate"],
         }
 
     # ---------------------------------------------------------------- warmup
@@ -312,30 +315,56 @@ class NoUTurnSampler(BaseSampler):
         n_warmup: int = 500,
         n_samples: int = 1,
         *,
+        adapt_mass: bool = False,
         model_kwargs: Optional[Dict[str, Any]] = None,
-    ) -> Tuple[Array, float]:
-        """Dual-averaging step-size warmup (same contract as HMC's)."""
+    ):
+        """Dual-averaging step-size warmup — the same contract as
+        :meth:`HamiltonianMonteCarlo.warmup`, including ``adapt_mass``.
+
+        Returns ``(warmed x, adapted step_size)``; with ``adapt_mass=True``
+        additionally estimates a Stan-style diagonal mass matrix from the
+        per-dimension posterior variance pooled over all chains and the second
+        half of warmup, returning ``(warmed x, adapted step_size, mass)``::
+
+            x, eps, mass = nuts.warmup(key, dim=2, n_samples=64, adapt_mass=True)
+            tuned = nuts.replace(step_size=eps, mass=mass)
+        """
         model_kwargs = model_kwargs or {}
         key_init, key_run = jax.random.split(key)
         x0 = self._init_state(key_init, x, dim, n_samples)
         eps0 = sched_init(self.step_size)
         mu = jnp.float32(math.log(10.0 * eps0))
-        x_f, da_f = _nuts_warmup_impl(
+        x_f, da_f, var = _nuts_warmup_impl(
             self, x0, key_run, n_warmup, self.target_accept, mu,
             DualAveragingState.init(eps0), model_kwargs,
         )
-        return x_f, float(jnp.exp(da_f.log_eps_bar))
+        eps = float(jnp.exp(da_f.log_eps_bar))
+        if adapt_mass:
+            return x_f, eps, 1.0 / jnp.clip(var, 1e-8, 1e8)
+        return x_f, eps
 
 
 @partial(jax.jit, static_argnames=("n_warmup", "target_accept"))
 def _nuts_warmup_impl(sampler, x0, key, n_warmup, target_accept, mu, da0, model_kwargs):
+    collect_from = n_warmup // 2  # skip the transient for the variance window
+
     def body(carry, i):
-        x, da = carry
+        x, da, s1, s2, n = carry
         x_new, acc, _, _ = sampler._transition_batch(
             x, jax.random.fold_in(key, i), jnp.exp(da.log_eps), model_kwargs
         )
         da = dual_averaging_update(da, acc, target_accept, mu)
-        return (x_new, da), None
+        flat = x_new.reshape(x_new.shape[0], -1)
+        take = (i >= collect_from).astype(x0.dtype)
+        s1 = s1 + take * jnp.sum(flat, axis=0)
+        s2 = s2 + take * jnp.sum(flat * flat, axis=0)
+        n = n + take * flat.shape[0]
+        return (x_new, da, s1, s2, n), None
 
-    (x_f, da_f), _ = jax.lax.scan(body, (x0, da0), jnp.arange(n_warmup))
-    return x_f, da_f
+    flat_d = x0.reshape(x0.shape[0], -1).shape[-1]
+    carry0 = (x0, da0, jnp.zeros(flat_d, x0.dtype), jnp.zeros(flat_d, x0.dtype),
+              jnp.float32(0.0))
+    (x_f, da_f, s1, s2, n), _ = jax.lax.scan(body, carry0, jnp.arange(n_warmup))
+    n = jnp.maximum(n, 2.0)
+    var = s2 / n - jnp.square(s1 / n)
+    return x_f, da_f, var.reshape(x0.shape[1:])
