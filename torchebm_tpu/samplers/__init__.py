@@ -10,6 +10,7 @@ from .diagnostics import (
     effective_sample_size,
     potential_scale_reduction,
     summarize_chains,
+    tail_effective_sample_size,
 )
 from .gradient_descent import GradientDescentSampler, NesterovSampler
 from .hmc import DualAveragingState, HamiltonianMonteCarlo, dual_averaging_update
@@ -37,6 +38,7 @@ __all__ = [
     "dual_averaging_update",
     "potential_scale_reduction",
     "effective_sample_size",
+    "tail_effective_sample_size",
     "summarize_chains",
 ]
 
