@@ -19,6 +19,11 @@ cancels all fixed per-call overhead (round trips + the 80 KB fetch):
 
     updates/s = chains * (S_HI - S_LO) / (t(S_HI) - t(S_LO))
 
+The generic library path (fused="off": the shared lax.scan over an arbitrary
+energy, with threefry keys auto-upgraded to hardware rbg bit generation on
+TPU) independently clears the >=10x bar: measured 2.41e9 updates/s = 16.0x at
+defaults, 2.94e9 = 19.6x with unroll=8 (see BASELINE.md config 1).
+
 vs_baseline divides by TORCHEBM_CUDA_BASELINE = 1.5e8 updates/s — a documented
 estimate of the reference's eager CUDA Langevin path on a modern GPU: the
 reference itself states one eager step costs ~6 kernel launches + 1 alloc

@@ -46,7 +46,7 @@ CASES = [
     Case("mala", lambda: MetropolisAdjustedLangevin(ENERGY, step_size=0.05),
          ("mean", "var", "energy", "acceptance_rate")),
     Case("nuts", lambda: NoUTurnSampler(ENERGY, step_size=0.3, max_tree_depth=5),
-         ("mean", "var", "energy", "acceptance_rate", "tree_depth")),
+         ("mean", "var", "energy", "acceptance_rate", "tree_depth", "divergence_rate")),
     Case("gd", lambda: GradientDescentSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
     Case("nesterov", lambda: NesterovSampler(ENERGY, step_size=0.1), ("mean", "var", "energy")),
     Case("pt_langevin",

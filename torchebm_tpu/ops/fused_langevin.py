@@ -23,10 +23,13 @@ full (8, 128) utilization; the Python wrappers reshape at the boundary.
 Gaussian noise comes from ``pltpu.prng_random_bits`` via Box–Muller, using
 both transform outputs. Measured on a v5e chip (two-point slope over
 1M→10M steps, which cancels per-call host latency): the mixture chain kernel
-runs at 0.64 µs/step for 10k chains vs 8.35 µs/step for the compiled
-``lax.scan`` library path — ~13× — because the scan's autodiff'd logsumexp
-round-trips (B, K, d) intermediates through HBM every step while the kernel
-keeps the whole chain in VMEM/registers.
+runs at 0.64 µs/step for 10k chains vs 4.2 µs/step for the compiled
+``lax.scan`` library path (with the rbg key upgrade; 8.5 µs with threefry) —
+~6.5× — because the scan pays per-step loop/launch overhead and HBM
+round-trips while the kernel keeps the whole chain in VMEM/registers. A
+per-step ``pallas_call`` inside the scan was measured at 27.8 µs/step
+(launch + (rows,128) relayout per step dominate): on TPU, fuse whole chains
+or rely on rbg + XLA elementwise fusion — never one kernel per step.
 
 Run ``python -m torchebm_tpu.ops.fused_langevin`` for the correctness +
 4-way benchmark harness mirroring the reference's self-test (``:183-266``).

@@ -44,6 +44,11 @@ class LangevinDynamics(BaseSampler):
     clamp: Optional[Tuple[float, float]] = struct.field(pytree_node=False, default=None)
     integrator: BaseSDERungeKuttaIntegrator = None
     fused: str = struct.field(pytree_node=False, default="auto")
+    #: transition-loop unroll factor (see BaseSampler docstring); >1 pays off
+    #: for cheap analytic energies, not for neural ones.
+    unroll: int = struct.field(pytree_node=False, default=1)
+    #: chain PRNG implementation: "auto" (rbg on TPU), "threefry", or "rbg".
+    rng_impl: str = struct.field(pytree_node=False, default="auto")
 
     def __post_init__(self):
         if self.clamp is not None and self.clamp[0] >= self.clamp[1]:
