@@ -116,7 +116,8 @@ class TestFusedDispatch:
     (stubbed here — real-kernel tests live in tests/ops/test_fused_langevin.py)."""
 
     def _stub(self, calls):
-        def stub(x0, means, n_draws, step_size, n_leapfrog, *, scale, log_weights, seed):
+        def stub(x0, means, n_draws, step_size, n_leapfrog, *, scale, log_weights,
+                 seed, interpret=False):
             calls.append((x0.shape, means.shape, n_draws, step_size, n_leapfrog))
             return x0, jnp.ones(x0.shape[0])
         return stub
@@ -132,6 +133,20 @@ class TestFusedDispatch:
         out = hmc.sample(key, dim=2, n_samples=32, n_steps=9)
         assert calls == [((32, 2), (8, 2), 9, 0.3, 7)]
         assert out.shape == (32, 2)
+
+    def test_force_routes_ddim_mixture(self, key, monkeypatch):
+        """Round-2 widening: d>2 mixtures dispatch to the general-d kernel."""
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        calls = []
+        monkeypatch.setattr(fh, "mixture_hmc_chain", self._stub(calls))
+        means = jax.random.normal(key, (3, 6))
+        mix = GaussianMixtureEnergy.create(means, scale=0.5)
+        hmc = HamiltonianMonteCarlo(mix, step_size=0.2, fused="force")
+        out = hmc.sample(key, dim=6, n_samples=16, n_steps=4)
+        assert calls == [((16, 6), (3, 6), 4, 0.2, 10)]
+        assert out.shape == (16, 6)
 
     def test_auto_never_dispatches_on_cpu(self, key, monkeypatch):
         from torchebm_tpu.core import GaussianMixtureEnergy

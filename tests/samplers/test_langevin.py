@@ -93,7 +93,8 @@ class TestFusedDispatch:
 
         calls = []
 
-        def stub(x0, n_steps, step_size, noise_scale, *, barrier_height, b, seed):
+        def stub(x0, n_steps, step_size, noise_scale, *, barrier_height, b, seed,
+                 clamp=None, interpret=False):
             calls.append((x0.shape, n_steps, step_size, noise_scale, barrier_height, b))
             return x0
 
@@ -108,7 +109,8 @@ class TestFusedDispatch:
 
         calls = []
 
-        def stub(x0, means, n_steps, step_size, noise_scale, *, scale, log_weights, seed):
+        def stub(x0, means, n_steps, step_size, noise_scale, *, scale, log_weights,
+                 seed, clamp=None, interpret=False):
             calls.append((x0.shape, means.shape, n_steps, scale))
             return x0
 
@@ -118,6 +120,65 @@ class TestFusedDispatch:
         out = sampler.sample(key, dim=2, n_samples=64, n_steps=5)
         assert calls == [((64, 2), (8, 2), 5, pytest.approx(0.4))]
         assert out.shape == (64, 2)
+
+    def test_force_routes_ddim_mixture(self, key, monkeypatch):
+        """Round-2 widening: d>2 mixtures dispatch to the general-d kernel."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        calls = []
+
+        def stub(x0, means, n_steps, step_size, noise_scale, **kw):
+            calls.append((x0.shape, means.shape))
+            return x0
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", stub)
+        means = jax.random.normal(key, (4, 5))
+        mix = GaussianMixtureEnergy.create(means, scale=0.7)
+        sampler = LangevinDynamics(mix, step_size=0.05, fused="force")
+        out = sampler.sample(key, dim=5, n_samples=16, n_steps=3)
+        assert calls == [((16, 5), (4, 5))]
+        assert out.shape == (16, 5)
+
+    def test_force_routes_isotropic_gaussian(self, key, monkeypatch):
+        """Isotropic GaussianEnergy routes as a 1-component mixture."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        calls = []
+
+        def stub(x0, means, n_steps, step_size, noise_scale, *, scale, **kw):
+            calls.append((x0.shape, means.shape, scale))
+            return x0
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", stub)
+        e = GaussianEnergy.create(jnp.array([1.0, 2.0, 3.0]), 4.0 * jnp.eye(3))
+        sampler = LangevinDynamics(e, step_size=0.05, fused="force")
+        out = sampler.sample(key, dim=3, n_samples=16, n_steps=3)
+        assert calls == [((16, 3), (1, 3), pytest.approx(2.0))]
+        assert out.shape == (16, 3)
+
+    def test_anisotropic_gaussian_falls_back(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("anisotropic Gaussian must use the scan path")
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", boom)
+        e = GaussianEnergy.create(jnp.zeros(2), jnp.array([[2.0, 0.5], [0.5, 1.0]]))
+        sampler = LangevinDynamics(e, step_size=0.05, fused="force")
+        assert sampler.sample(key, dim=2, n_samples=8, n_steps=3).shape == (8, 2)
+
+    def test_oversize_mixture_falls_back(self, key, monkeypatch):
+        """K*d beyond the kernel unroll cap uses the scan path."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("oversize mixture must use the scan path")
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", boom)
+        means = jax.random.normal(key, (64, 32))  # K*d = 2048 > 1024
+        mix = GaussianMixtureEnergy.create(means)
+        sampler = LangevinDynamics(mix, step_size=0.01, fused="force")
+        assert sampler.sample(key, dim=32, n_samples=8, n_steps=2).shape == (8, 32)
 
     def test_default_off_on_cpu(self, key, monkeypatch):
         """Default 'auto' never dispatches off-TPU — the scan path runs."""
@@ -168,9 +229,28 @@ class TestFusedDispatch:
         with pytest.raises(ValueError, match="fused"):
             LangevinDynamics(DoubleWellEnergy(), fused="yes")
 
-    def test_fused_off_scan_path_still_clamped(self, key):
+    def test_fused_clamp_forwarded(self, key, monkeypatch):
+        """Round-2 widening: clamp no longer blocks dispatch — it is folded
+        into the chain kernel (in-kernel clamp parity is pinned by
+        tests/ops/test_chain_parity.py)."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        seen = []
+
+        def stub(x0, n_steps, step_size, noise_scale, *, clamp=None, **kw):
+            seen.append(clamp)
+            return x0
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain", stub)
         sampler = LangevinDynamics(
             DoubleWellEnergy(), step_size=0.1, clamp=(-0.5, 0.5), fused="force"
+        )
+        sampler.sample(key, dim=2, n_samples=8, n_steps=5)
+        assert seen == [(-0.5, 0.5)]
+
+    def test_scan_path_still_clamped(self, key):
+        sampler = LangevinDynamics(
+            DoubleWellEnergy(), step_size=0.1, clamp=(-0.5, 0.5), fused="off"
         )
         out = sampler.sample(key, dim=2, n_samples=8, n_steps=5)
         assert float(jnp.max(jnp.abs(out))) <= 0.5

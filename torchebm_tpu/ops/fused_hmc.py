@@ -1,17 +1,19 @@
-r"""Pallas TPU kernel: whole-chain HMC on 2D isotropic Gaussian mixtures.
+r"""Pallas TPU kernel: whole-chain HMC on d-dim isotropic Gaussian mixtures.
 
 Beyond-reference perf feature (the reference's kernel layer stops at Langevin,
 ``torchebm/cuda/fused_langevin.py``): an entire HMC run — momentum refresh,
 ``n_leapfrog`` leapfrog steps with force reuse, Metropolis test — for every
 draw of every chain executes in ONE kernel launch with the state resident in
 VMEM/registers. This is BASELINE config 2's throughput path on the 8gaussians
-/ analytic 2D mixture energies.
+/ analytic mixture energies.
 
 Layout matches :mod:`torchebm_tpu.ops.fused_langevin`: chains spread over
-``(16, lanes)`` blocks (rows 0-7 x-coordinates, 8-15 y-coordinates) so every
-VPU op runs at full (8, 128) sublane×lane utilization; means/log-weights ride
-in a packed (8, K_pad) tile; normals come from both Box–Muller outputs of the
-hardware PRNG, uniforms from one 24-bit draw.
+``(8·d, lanes)`` blocks (rows ``8i:8(i+1)`` = coordinate i) so every VPU op
+runs at full (8, 128) sublane×lane utilization; means/log-weights ride in a
+packed ``(round8(d+1), K_pad)`` tile; normals come from both Box–Muller
+outputs of the hardware PRNG, uniforms from one 24-bit draw. An
+injected-randomness variant (``noise=`` momenta + ``uniforms=`` MH draws)
+gives the exact-parity CI path on CPU interpret mode.
 
 Numerical guards mirror the library sampler (``samplers/hmc.py``):
 the Hamiltonian difference is clamped to ±50 before ``exp``.
@@ -30,10 +32,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_langevin import (
     _LANE,
+    _mixture_block,
     _mixture_grad_logp,
-    _normal_pair_from_bits,
+    _normal_tiles,
     _round_up,
+    _split_coords,
     _uniform_from_bits,
+    chains_to_tiles,
+    pack_mixture_params,
+    tiles_to_chains,
 )
 
 Array = jax.Array
@@ -41,51 +48,85 @@ Array = jax.Array
 __all__ = ["mixture_hmc_chain"]
 
 
-def _mixture_hmc_kernel(seed_ref, x_ref, means_ref, logw_ref, out_ref, acc_ref, *,
-                        n_draws, n_leapfrog, step_size, inv_var, n_components):
+def _hmc_draw(x, p, u, means, *, n_leapfrog, step_size, inv_var, n_components, d):
+    """One MH-corrected HMC draw on tile lists; returns (new_x, accept_prob)."""
+    h = step_size
+    coords = _split_coords(x, d)
+    grads, lp0 = _mixture_grad_logp(coords, means, inv_var, n_components)
+    k0 = p[0] * p[0]
+    for i in range(1, d):
+        k0 = k0 + p[i] * p[i]
+    h0 = -lp0 + 0.5 * k0
+
+    # leapfrog with force reuse: half-kick, drift, full gradient, half-kick
+    def lf(_, s):
+        q, mom, g = s[:d], s[d : 2 * d], s[2 * d :]
+        mom = [mom[i] - 0.5 * h * g[i] for i in range(d)]
+        q = [q[i] + h * mom[i] for i in range(d)]
+        ng, _ = _mixture_grad_logp(list(q), means, inv_var, n_components)
+        mom = [mom[i] - 0.5 * h * ng[i] for i in range(d)]
+        return tuple(q) + tuple(mom) + tuple(ng)
+
+    state = jax.lax.fori_loop(
+        0, n_leapfrog, lf, tuple(coords) + tuple(p) + tuple(grads)
+    )
+    q, mom = state[:d], state[d : 2 * d]
+    _, lp1 = _mixture_grad_logp(list(q), means, inv_var, n_components)
+    k1 = mom[0] * mom[0]
+    for i in range(1, d):
+        k1 = k1 + mom[i] * mom[i]
+    h1 = -lp1 + 0.5 * k1
+    accept_prob = jnp.minimum(jnp.exp(jnp.clip(h0 - h1, -50.0, 50.0)), 1.0)
+    take = u < accept_prob
+    new_x = jnp.concatenate(
+        [jnp.where(take, q[i], coords[i]) for i in range(d)], axis=0
+    )
+    return new_x, accept_prob
+
+
+def _mixture_hmc_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref, *,
+                        n_draws, n_leapfrog, step_size, inv_var, n_components, d):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     means = means_ref[...]
-    logw = logw_ref[...]
-    h = step_size
-
-    def mix(qx, qy):
-        return _mixture_grad_logp(qx, qy, means, logw, inv_var, n_components)
+    tile = (8, x_ref.shape[1])
 
     def draw(_, carry):
         x, acc_sum = carry
-        xx = x[0:8, :]
-        yy = x[8:16, :]
-        px, py = _normal_pair_from_bits(xx.shape)
-        gx, gy, lp0 = mix(xx, yy)
-        h0 = -lp0 + 0.5 * (px * px + py * py)
-
-        # leapfrog with force reuse: half-kick, drift, full gradient, half-kick
-        def lf(_, s):
-            qx, qy, px_, py_, gx_, gy_ = s
-            px_ = px_ - 0.5 * h * gx_
-            py_ = py_ - 0.5 * h * gy_
-            qx = qx + h * px_
-            qy = qy + h * py_
-            ngx, ngy, _ = mix(qx, qy)
-            px_ = px_ - 0.5 * h * ngx
-            py_ = py_ - 0.5 * h * ngy
-            return qx, qy, px_, py_, ngx, ngy
-
-        qx, qy, px, py, _, _ = jax.lax.fori_loop(
-            0, n_leapfrog, lf, (xx, yy, px, py, gx, gy)
-        )
-        _, _, lp1 = mix(qx, qy)
-        h1 = -lp1 + 0.5 * (px * px + py * py)
-        accept_prob = jnp.minimum(jnp.exp(jnp.clip(h0 - h1, -50.0, 50.0)), 1.0)
-        u = _uniform_from_bits(xx.shape)
-        take = u < accept_prob
-        new_x = jnp.concatenate(
-            [jnp.where(take, qx, xx), jnp.where(take, qy, yy)], axis=0
+        p = _normal_tiles(tile, d)
+        u = _uniform_from_bits(tile)
+        new_x, accept_prob = _hmc_draw(
+            x, p, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
+            inv_var=inv_var, n_components=n_components, d=d,
         )
         return new_x, acc_sum + accept_prob
 
     x_f, acc = jax.lax.fori_loop(
-        0, n_draws, draw, (x_ref[...], jnp.zeros_like(x_ref[0:8, :]))
+        0, n_draws, draw, (x_ref[...], jnp.zeros(tile, jnp.float32))
+    )
+    out_ref[...] = x_f
+    acc_ref[...] = acc * (1.0 / n_draws)
+
+
+def _mixture_hmc_noise_kernel(x_ref, means_ref, noise_ref, unif_ref, out_ref,
+                              acc_ref, *, n_draws, n_leapfrog, step_size,
+                              inv_var, n_components, d):
+    """Injected-randomness variant: exact-parity CI path (no in-kernel PRNG)."""
+    means = means_ref[...]
+    tile = (8, x_ref.shape[1])
+
+    def draw(t, carry):
+        x, acc_sum = carry
+        pt = noise_ref[pl.ds(t, 1)][0]
+        p = _split_coords(pt, d)
+        u = unif_ref[pl.ds(t, 1)][0]
+        new_x, accept_prob = _hmc_draw(
+            x, p, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
+            inv_var=inv_var, n_components=n_components, d=d,
+        )
+        return new_x, acc_sum + accept_prob
+
+    x_f, acc = jax.lax.fori_loop(
+        0, n_draws, draw, (x_ref[...], jnp.zeros(tile, jnp.float32))
     )
     out_ref[...] = x_f
     acc_ref[...] = acc * (1.0 / n_draws)
@@ -101,67 +142,98 @@ def mixture_hmc_chain(
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
     seed: int = 0,
+    noise: Optional[Array] = None,
+    uniforms: Optional[Array] = None,
     block_chains: int = 1 << 20,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Full HMC run on a 2D isotropic Gaussian mixture in one kernel launch.
+    """Full HMC run on a d-dim isotropic Gaussian mixture in one kernel launch.
 
-    ``x0``: (n_chains, 2); ``means``: (K, 2). Returns ``(samples, accept)``
-    where ``samples`` is the final state (n_chains, 2) and ``accept`` the
+    ``x0``: (n_chains, d); ``means``: (K, d). Returns ``(samples, accept)``
+    where ``samples`` is the final state (n_chains, d) and ``accept`` the
     per-chain mean acceptance probability over all draws (n_chains,).
+    ``noise`` (momenta, shape ``(n_draws, n_chains, d)``) together with
+    ``uniforms`` (MH draws, shape ``(n_draws, n_chains)``) replaces the
+    in-kernel PRNG for exact-parity CI tests.
     """
     n_chains, dim = x0.shape
-    if dim != 2:
-        raise ValueError("mixture_hmc_chain currently supports dim=2 states")
-    k = means.shape[0]
-    if log_weights is None:
-        log_weights = jnp.full((k,), -math.log(k), jnp.float32)
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            "mixture_hmc_chain unrolls K components x d dims in-kernel; "
+            f"K*d={k * dim}, d={dim} exceeds the supported size (d<=64, K*d<=1024)"
+        )
+    if (noise is None) != (uniforms is None):
+        raise ValueError("noise and uniforms must be supplied together")
 
-    padded = _round_up(n_chains, 8 * _LANE)
+    xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
-    xpad = jnp.pad(x0, ((0, padded - n_chains), (0, 0)))
-    xt = jnp.concatenate(
-        [xpad[:, 0].reshape(8, lanes), xpad[:, 1].reshape(8, lanes)], axis=0
+    packed = pack_mixture_params(means, log_weights)
+    block = _mixture_block(lanes, dim, block_chains)
+
+    kw = dict(
+        n_draws=int(n_draws),
+        n_leapfrog=int(n_leapfrog),
+        step_size=float(step_size),
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=int(k),
+        d=int(dim),
     )
-    k_pad = _round_up(k, _LANE)
-    packed = jnp.zeros((8, k_pad), jnp.float32)
-    packed = packed.at[0, :k].set(means[:, 0])
-    packed = packed.at[1, :k].set(means[:, 1])
-    packed = packed.at[2, :k].set(log_weights)
-
-    block = min(max(block_chains // 8, _LANE), lanes)
-    while lanes % block:
-        block //= 2
-    block = max(block, _LANE)
-
-    out, acc = pl.pallas_call(
-        functools.partial(
-            _mixture_hmc_kernel,
-            n_draws=int(n_draws),
-            n_leapfrog=int(n_leapfrog),
-            step_size=float(step_size),
-            inv_var=1.0 / float(scale) ** 2,
-            n_components=int(k),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((16, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((8, lanes), jnp.float32),
-        ),
-        grid=(lanes // block,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), xt, packed, packed)
-    samples = jnp.stack([out[0:8].reshape(padded), out[8:16].reshape(padded)], axis=-1)
-    return samples[:n_chains], acc.reshape(padded)[:n_chains]
+    rows = 8 * dim
+    state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((8, lanes), jnp.float32),
+    )
+    if noise is None:
+        out, acc = pl.pallas_call(
+            functools.partial(_mixture_hmc_kernel, **kw),
+            out_shape=out_shape,
+            grid=(lanes // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                state_spec,
+                means_spec,
+            ],
+            out_specs=(state_spec, acc_spec),
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), xt, packed)
+    else:
+        if noise.shape != (n_draws, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_draws, n_chains, dim)}, got {noise.shape}"
+            )
+        if uniforms.shape != (n_draws, n_chains):
+            raise ValueError(
+                f"uniforms must have shape {(n_draws, n_chains)}, got {uniforms.shape}"
+            )
+        nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_draws)])
+        ut = jnp.stack(
+            [chains_to_tiles(uniforms[t][:, None])[0] for t in range(n_draws)]
+        )
+        out, acc = pl.pallas_call(
+            functools.partial(_mixture_hmc_noise_kernel, **kw),
+            out_shape=out_shape,
+            grid=(lanes // block,),
+            in_specs=[
+                state_spec,
+                means_spec,
+                pl.BlockSpec(
+                    (n_draws, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n_draws, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(state_spec, acc_spec),
+            interpret=interpret,
+        )(xt, packed, nt, ut)
+    samples = tiles_to_chains(out, n_chains, dim)
+    return samples, acc.reshape(padded)[:n_chains]
 
 
 def _selftest():  # pragma: no cover - exercised via `python -m`

@@ -12,12 +12,19 @@ reference):
   (reference ``:65-88``): an entire n-step chain resident in VMEM in ONE
   kernel launch, analytic :math:`\nabla E = 4h x(x^2-b^2)` inline.
 - :func:`mixture_langevin_chain` — build addition: the same whole-chain form
-  for isotropic Gaussian-mixture energies (the 8gaussians benchmark target),
-  with the responsibility-weighted analytic gradient computed in-kernel.
+  for d-dim isotropic Gaussian-mixture energies (the 8gaussians benchmark
+  target; a 1-component mixture covers isotropic ``GaussianEnergy``), with
+  the responsibility-weighted analytic gradient computed in-kernel and an
+  optional fused per-step clamp.
+
+Every chain kernel has an injected-noise variant (``noise=``) that skips the
+in-kernel PRNG: the exact-parity CI path, tested step-for-step against plain
+jnp loops in interpret mode on CPU (``tests/ops/test_chain_parity.py``) —
+the reference's correctness pattern (``cuda/fused_langevin.py:90-138``).
 
 Layout notes (see the TPU tiling constraints): the huge chain axis is spread
 over BOTH the 8-sublane and 128-lane dimensions — the elementwise chain
-kernel uses flat ``(rows, 128)`` blocks, the 2D mixture kernel ``(16,
+kernel uses flat ``(rows, 128)`` blocks, the mixture kernels ``(8·d,
 lanes)`` blocks (8 sublane rows per coordinate) — so every VPU op runs at
 full (8, 128) utilization; the Python wrappers reshape at the boundary.
 Gaussian noise comes from ``pltpu.prng_random_bits`` via Box–Muller, using
@@ -88,35 +95,46 @@ def _uniform_from_bits(shape) -> Array:
     return i * (1.0 / (1 << 24))
 
 
-def _mixture_grad_logp(xx, yy, means, logw, inv_var, n_components):
-    r"""Shared in-kernel 2D isotropic-mixture math on (8, L) coordinate blocks.
+def _mixture_grad_logp(coords, means, inv_var, n_components):
+    r"""Shared in-kernel d-dim isotropic-mixture math on (8, L) coordinate blocks.
 
-    Returns ``(gx, gy, logp)``: the energy gradient via softmax
+    ``coords`` is a list of d tiles (one per coordinate). Returns
+    ``(grads, logp)``: the per-coordinate energy-gradient tiles via softmax
     responsibilities and the unnormalized log-density
     :math:`\log\sum_k e^{\text{logit}_k}` (:math:`-E` up to a constant that
-    cancels in Metropolis ratios). ``means``/``logw`` are the packed
-    (8, K_pad) tile: rows [mx, my, logw].
+    cancels in Metropolis ratios). ``means`` is the packed
+    (round8(d+1), K_pad) tile: row i < d holds coordinate i of every mean,
+    row d the log-weights.
     """
+    d = len(coords)
     logits = []
     for k in range(n_components):
-        dx = xx - means[0, k]
-        dy = yy - means[1, k]
-        logits.append(logw[2, k] - 0.5 * inv_var * (dx * dx + dy * dy))
+        sq = None
+        for i in range(d):
+            diff = coords[i] - means[i, k]
+            sq = diff * diff if sq is None else sq + diff * diff
+        logits.append(means[d, k] - 0.5 * inv_var * sq)
     m = logits[0]
     for k in range(1, n_components):
         m = jnp.maximum(m, logits[k])
-    num_x = jnp.zeros_like(xx)
-    num_y = jnp.zeros_like(xx)
-    den = jnp.zeros_like(xx)
+    nums = [jnp.zeros_like(coords[0]) for _ in range(d)]
+    den = jnp.zeros_like(coords[0])
     for k in range(n_components):
         w = jnp.exp(logits[k] - m)
         den = den + w
-        num_x = num_x + w * means[0, k]
-        num_y = num_y + w * means[1, k]
+        for i in range(d):
+            nums[i] = nums[i] + w * means[i, k]
     inv_den = 1.0 / den
-    gx = (xx - num_x * inv_den) * inv_var
-    gy = (yy - num_y * inv_den) * inv_var
-    return gx, gy, m + jnp.log(den)
+    grads = [(coords[i] - nums[i] * inv_den) * inv_var for i in range(d)]
+    return grads, m + jnp.log(den)
+
+
+def _normal_tiles(shape, d):
+    """d independent standard-normal tiles from ceil(d/2) Box–Muller pairs."""
+    tiles = []
+    for _ in range((d + 1) // 2):
+        tiles.extend(_normal_pair_from_bits(shape))
+    return tiles[:d]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -210,8 +228,12 @@ def fused_langevin_step(
 # ---------------------------------------------------------------------------
 
 
+def _clip(x, clamp):
+    return x if clamp is None else jnp.clip(x, clamp[0], clamp[1])
+
+
 def _doublewell_chain_kernel(seed_ref, x_ref, out_ref, *, n_steps, step_size,
-                             noise_coef, barrier_height, b):
+                             noise_coef, barrier_height, b, clamp):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     b2 = b * b
     coef = 4.0 * barrier_height
@@ -219,7 +241,22 @@ def _doublewell_chain_kernel(seed_ref, x_ref, out_ref, *, n_steps, step_size,
     def body(_, x):
         grad = coef * x * (x * x - b2)  # analytic double-well ∇E, inline
         eps = _normal_from_bits(x.shape)
-        return x - step_size * grad + noise_coef * eps
+        return _clip(x - step_size * grad + noise_coef * eps, clamp)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _doublewell_chain_noise_kernel(x_ref, noise_ref, out_ref, *, n_steps,
+                                   step_size, noise_coef, barrier_height, b,
+                                   clamp):
+    """Injected-noise variant: exact-parity CI path (no in-kernel PRNG)."""
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = noise_ref[pl.ds(i, 1)][0]
+        return _clip(x - step_size * grad + noise_coef * eps, clamp)
 
     out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
 
@@ -233,6 +270,8 @@ def doublewell_langevin_chain(
     barrier_height: float = 2.0,
     b: float = 1.0,
     seed: int = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
     block_rows: int = 256,
     interpret: bool = False,
 ) -> Array:
@@ -240,7 +279,10 @@ def doublewell_langevin_chain(
 
     Elementwise-separable energy ⇒ the state is treated as a flat vector and
     blocked over the grid; each block's chain segment never leaves VMEM
-    (reference Triton ceiling, ``fused_langevin.py:65-88``).
+    (reference Triton ceiling, ``fused_langevin.py:65-88``). ``noise``
+    (shape ``(n_steps, *x0.shape)``) replaces the in-kernel PRNG for
+    exact-parity testing — the reference's correctness hook (``:90-138``);
+    ``clamp`` bounds the state per step like the library sampler.
     """
     orig_shape = x0.shape
     flat = x0.reshape(-1)
@@ -254,53 +296,149 @@ def doublewell_langevin_chain(
         block_rows //= 2
     block_rows = max(block_rows, 8) if rows % 8 == 0 else rows
 
-    out = pl.pallas_call(
-        functools.partial(
-            _doublewell_chain_kernel,
-            n_steps=int(n_steps),
-            step_size=float(step_size),
-            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
-            barrier_height=float(barrier_height),
-            b=float(b),
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
-        grid=(rows // block_rows,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), flat)
+    kw = dict(
+        n_steps=int(n_steps),
+        step_size=float(step_size),
+        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+        barrier_height=float(barrier_height),
+        b=float(b),
+        clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
+    )
+    out_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if noise is None:
+        out = pl.pallas_call(
+            functools.partial(_doublewell_chain_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+            grid=(rows // block_rows,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), flat)
+    else:
+        if noise.shape != (n_steps, *orig_shape):
+            raise ValueError(
+                f"noise must have shape {(n_steps, *orig_shape)}, got {noise.shape}"
+            )
+        npad = jnp.pad(noise.reshape(n_steps, -1), ((0, 0), (0, padded - n)))
+        npad = npad.reshape(n_steps, rows, _LANE)
+        out = pl.pallas_call(
+            functools.partial(_doublewell_chain_noise_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+            grid=(rows // block_rows,),
+            in_specs=[
+                pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (n_steps, block_rows, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=out_spec,
+            interpret=interpret,
+        )(flat, npad)
     return out.reshape(-1)[:n].reshape(orig_shape)
 
 
-def _mixture_chain_kernel(seed_ref, x_ref, means_ref, logw_ref, out_ref, *,
-                          n_steps, step_size, noise_coef, inv_var, n_components):
-    """Whole-chain Langevin on an isotropic 2D Gaussian mixture.
+# -------------------------------------------------------- mixture chain (d-dim)
 
-    State layout: ``(16, block_lanes)`` — rows 0-7 hold the x-coordinates of
-    8·block_lanes chains, rows 8-15 the y-coordinates, so every VPU op runs
-    with full (8, 128) sublane×lane utilization (a ``(2, chains)`` layout
-    would idle 7/8 sublanes). The analytic score is the
-    responsibility-weighted pull toward the means via a numerically-stable
-    softmax over the (unrolled) components; both Box–Muller outputs are used
-    so each step costs two ``prng_random_bits`` draws for both coordinates.
+
+def _split_coords(x, d):
+    return [x[8 * i : 8 * (i + 1), :] for i in range(d)]
+
+
+def _mixture_chain_kernel(seed_ref, x_ref, means_ref, out_ref, *, n_steps,
+                          step_size, noise_coef, inv_var, n_components, d,
+                          clamp):
+    """Whole-chain Langevin on a d-dim isotropic Gaussian mixture.
+
+    State layout: ``(8·d, block_lanes)`` — rows ``8i:8(i+1)`` hold coordinate
+    ``i`` of 8·block_lanes chains, so every VPU op runs with full (8, 128)
+    sublane×lane utilization (a ``(d, chains)`` layout would idle most
+    sublanes for small d). The analytic score is the responsibility-weighted
+    pull toward the means via a numerically-stable softmax over the
+    (unrolled) components; both Box–Muller outputs are used so each step
+    costs ``ceil(d/2)·2`` ``prng_random_bits`` draws for all d coordinates.
     """
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    means = means_ref[...]  # (8_pad, K) rows: [mx, my, logw, ...pad]
-    logw = logw_ref[...]
+    means = means_ref[...]  # (round8(d+1), K_pad): rows [m_0..m_{d-1}, logw]
 
     def body(_, x):
-        xx = x[0:8, :]
-        yy = x[8:16, :]
-        gx, gy, _ = _mixture_grad_logp(xx, yy, means, logw, inv_var, n_components)
-        ex, ey = _normal_pair_from_bits(xx.shape)
-        new_x = xx - step_size * gx + noise_coef * ex
-        new_y = yy - step_size * gy + noise_coef * ey
-        return jnp.concatenate([new_x, new_y], axis=0)
+        coords = _split_coords(x, d)
+        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        eps = _normal_tiles(coords[0].shape, d)
+        new = [
+            _clip(coords[i] - step_size * grads[i] + noise_coef * eps[i], clamp)
+            for i in range(d)
+        ]
+        return jnp.concatenate(new, axis=0)
 
     out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_noise_kernel(x_ref, means_ref, noise_ref, out_ref, *,
+                                n_steps, step_size, noise_coef, inv_var,
+                                n_components, d, clamp):
+    """Injected-noise variant of :func:`_mixture_chain_kernel` (CI parity)."""
+    means = means_ref[...]
+
+    def body(i, x):
+        coords = _split_coords(x, d)
+        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        et = noise_ref[pl.ds(i, 1)][0]
+        eps = _split_coords(et, d)
+        new = [
+            _clip(coords[i] - step_size * grads[i] + noise_coef * eps[i], clamp)
+            for i in range(d)
+        ]
+        return jnp.concatenate(new, axis=0)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def pack_mixture_params(means: Array, log_weights: Optional[Array]) -> Array:
+    """Pack (K, d) means + (K,) log-weights into the kernels' 2D tile.
+
+    Layout: ``(round8(d+1), K_pad)`` — row ``i < d`` holds coordinate ``i`` of
+    every mean, row ``d`` the log-weights, K padded to the 128-lane multiple.
+    """
+    k, d = means.shape
+    if log_weights is None:
+        log_weights = jnp.full((k,), -math.log(k), jnp.float32)
+    k_pad = _round_up(k, _LANE)
+    packed = jnp.zeros((_round_up(d + 1, 8), k_pad), jnp.float32)
+    packed = packed.at[:d, :k].set(means.T)
+    packed = packed.at[d, :k].set(log_weights)
+    return packed
+
+
+def chains_to_tiles(x: Array) -> Tuple[Array, int]:
+    """Re-lay (n_chains, d) states into the kernels' (8·d, lanes) tile form."""
+    n_chains, d = x.shape
+    padded = _round_up(n_chains, 8 * _LANE)
+    lanes = padded // 8
+    xpad = jnp.pad(x, ((0, padded - n_chains), (0, 0)))  # (padded, d)
+    return (
+        jnp.concatenate([xpad[:, i].reshape(8, lanes) for i in range(d)], axis=0),
+        padded,
+    )
+
+
+def tiles_to_chains(t: Array, n_chains: int, d: int) -> Array:
+    padded = t.shape[1] * 8
+    return jnp.stack(
+        [t[8 * i : 8 * (i + 1)].reshape(padded) for i in range(d)], axis=-1
+    )[:n_chains]
+
+
+def _mixture_block(lanes: int, d: int, block_chains: int) -> int:
+    """Grid block width (lanes) fitting the (8d, block) state in VMEM."""
+    # ~6 live copies of the (8d, block) f32 state; stay well under ~16 MB VMEM
+    budget = (4 << 20) // (8 * d * 4 * 6)
+    block = min(max(min(block_chains // 8, budget), _LANE), lanes)
+    while lanes % block:
+        block //= 2
+    return max(block, _LANE)
 
 
 def mixture_langevin_chain(
@@ -313,64 +451,85 @@ def mixture_langevin_chain(
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
     seed: int = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
     block_chains: int = 1 << 20,
     interpret: bool = False,
 ) -> Array:
-    """Full n-step Langevin chain on a 2D isotropic Gaussian mixture in one kernel.
+    """Full n-step Langevin chain on a d-dim isotropic Gaussian mixture in one kernel.
 
-    ``x0``: (n_chains, 2); ``means``: (K, 2). The benchmark-critical 8gaussians
-    workload (BASELINE config 1) with zero HBM round-trips between steps.
-    Chains are re-laid-out as (16, lanes) blocks — 8 sublane rows per
-    coordinate — so the per-component softmax math runs at full VPU
-    utilization (see :func:`_mixture_chain_kernel`).
+    ``x0``: (n_chains, d); ``means``: (K, d). The benchmark-critical
+    8gaussians workload (BASELINE config 1) with zero HBM round-trips between
+    steps; a single-component mixture is an isotropic Gaussian (the
+    ``GaussianEnergy`` fused route). Chains are re-laid-out as (8·d, lanes)
+    blocks — 8 sublane rows per coordinate — so the per-component softmax math
+    runs at full VPU utilization (see :func:`_mixture_chain_kernel`).
+    ``noise`` (shape ``(n_steps, n_chains, d)``) replaces the in-kernel PRNG
+    for exact-parity CI tests; ``clamp`` bounds the state per step.
     """
     n_chains, dim = x0.shape
-    if dim != 2:
-        raise ValueError("mixture_langevin_chain currently supports dim=2 states")
-    k = means.shape[0]
-    if log_weights is None:
-        log_weights = jnp.full((k,), -math.log(k), jnp.float32)
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            "mixture_langevin_chain unrolls K components x d dims in-kernel; "
+            f"K*d={k * dim}, d={dim} exceeds the supported size (d<=64, K*d<=1024)"
+        )
 
-    padded = _round_up(n_chains, 8 * _LANE)
+    xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
-    xpad = jnp.pad(x0, ((0, padded - n_chains), (0, 0)))  # (padded, 2)
-    xt = jnp.concatenate(
-        [xpad[:, 0].reshape(8, lanes), xpad[:, 1].reshape(8, lanes)], axis=0
-    )  # (16, lanes)
-    # means/logw packed to an (8, K_pad) tile: rows [mx, my, logw, 0...]
-    k_pad = _round_up(k, _LANE)
-    packed = jnp.zeros((8, k_pad), jnp.float32)
-    packed = packed.at[0, :k].set(means[:, 0])
-    packed = packed.at[1, :k].set(means[:, 1])
-    packed = packed.at[2, :k].set(log_weights)
+    packed = pack_mixture_params(means, log_weights)
+    block = _mixture_block(lanes, dim, block_chains)
 
-    block = min(max(block_chains // 8, _LANE), lanes)
-    while lanes % block:
-        block //= 2
-    block = max(block, _LANE)
-
-    out = pl.pallas_call(
-        functools.partial(
-            _mixture_chain_kernel,
-            n_steps=int(n_steps),
-            step_size=float(step_size),
-            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
-            inv_var=1.0 / float(scale) ** 2,
-            n_components=int(k),
-        ),
-        out_shape=jax.ShapeDtypeStruct((16, lanes), jnp.float32),
-        grid=(lanes // block,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, k_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((16, block), lambda i: (0, i), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(jnp.asarray([seed], jnp.int32), xt, packed, packed)
-    res = jnp.stack([out[0:8].reshape(padded), out[8:16].reshape(padded)], axis=-1)
-    return res[:n_chains]
+    kw = dict(
+        n_steps=int(n_steps),
+        step_size=float(step_size),
+        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=int(k),
+        d=int(dim),
+        clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
+    )
+    rows = 8 * dim
+    state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    means_spec = pl.BlockSpec(
+        packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    if noise is None:
+        out = pl.pallas_call(
+            functools.partial(_mixture_chain_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            grid=(lanes // block,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                state_spec,
+                means_spec,
+            ],
+            out_specs=state_spec,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), xt, packed)
+    else:
+        if noise.shape != (n_steps, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_steps, n_chains, dim)}, got {noise.shape}"
+            )
+        nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_steps)])
+        out = pl.pallas_call(
+            functools.partial(_mixture_chain_noise_kernel, **kw),
+            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            grid=(lanes // block,),
+            in_specs=[
+                state_spec,
+                means_spec,
+                pl.BlockSpec(
+                    (n_steps, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=state_spec,
+            interpret=interpret,
+        )(xt, packed, nt)
+    return tiles_to_chains(out, n_chains, dim)
 
 
 # ---------------------------------------------------------------------------

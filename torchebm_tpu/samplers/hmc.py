@@ -183,9 +183,9 @@ class HamiltonianMonteCarlo(BaseSampler):
 
         Same conservative stance as :class:`LangevinDynamics`: eager
         single-program TPU calls only, default leapfrog, unit mass, constant
-        step size, no trajectory/diagnostics/conditioning, 2D isotropic
-        :class:`GaussianMixtureEnergy`. ``fused="off"`` disables; ``"force"``
-        skips the TPU-backend check (kernel-stub tests).
+        step size, no trajectory/diagnostics/conditioning, d-dim isotropic
+        :class:`GaussianMixtureEnergy` with K·d ≤ 1024. ``fused="off"``
+        disables; ``"force"`` skips the TPU-backend check (kernel-stub tests).
         """
         if self.fused == "off":
             return False
@@ -205,7 +205,8 @@ class HamiltonianMonteCarlo(BaseSampler):
             return False
         if isinstance(self.model.means, jax.core.Tracer):
             return False
-        return self.model.means.shape[-1] == 2
+        k, d = self.model.means.shape
+        return d <= 64 and k * d <= 1024
 
     def sample(
         self,
@@ -230,7 +231,7 @@ class HamiltonianMonteCarlo(BaseSampler):
 
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
-            if x0.ndim == 2 and x0.shape[-1] == 2:
+            if x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
                 seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
                 samples, _ = ops.mixture_hmc_chain(
                     x0,
@@ -241,6 +242,7 @@ class HamiltonianMonteCarlo(BaseSampler):
                     scale=float(self.model.scale),
                     log_weights=self.model.log_weights,
                     seed=seed,
+                    interpret=self.fused == "force" and jax.default_backend() != "tpu",
                 )
                 return samples
             # unsupported state shape: fall through to the scan path

@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.energies import DoubleWellEnergy, Energy, GaussianMixtureEnergy
+from ..core.energies import (
+    DoubleWellEnergy,
+    Energy,
+    GaussianEnergy,
+    GaussianMixtureEnergy,
+)
 from ..core.schedulers import BaseScheduler, sched_value
 from ..integrators import (
     BaseSDERungeKuttaIntegrator,
@@ -84,10 +89,12 @@ class LangevinDynamics(BaseSampler):
         The dispatch is conservative: eager single-program calls only (inside a
         user ``jit``/``shard_map`` the generic scan path is used — it shards and
         traces transparently), default Euler–Maruyama, constant step/noise, no
-        clamp/trajectory/diagnostics/conditioning, and an analytic energy the
-        kernels know (:class:`DoubleWellEnergy`, 2D isotropic
-        :class:`GaussianMixtureEnergy`). ``fused="off"`` disables;
-        ``"force"`` skips the TPU-backend check (kernel-stub tests).
+        trajectory/diagnostics/conditioning, and an analytic energy the kernels
+        know (:class:`DoubleWellEnergy`, d-dim isotropic
+        :class:`GaussianMixtureEnergy` with K·d ≤ 1024, isotropic
+        :class:`GaussianEnergy`). ``clamp`` is supported (folded into the
+        kernels). ``fused="off"`` disables; ``"force"`` skips the TPU-backend
+        check (kernel-stub tests).
         """
         if self.fused == "off":
             return False
@@ -103,17 +110,33 @@ class LangevinDynamics(BaseSampler):
             self.noise_scale, (int, float)
         ):
             return False
-        if self.clamp is not None:
-            return False
         if type(self.model) is DoubleWellEnergy:
             return isinstance(self.model.barrier_height, (int, float)) and isinstance(
                 self.model.b, (int, float)
             )
         if type(self.model) is GaussianMixtureEnergy:
-            return not isinstance(self.model.means, jax.core.Tracer) and not isinstance(
+            if isinstance(self.model.means, jax.core.Tracer) or isinstance(
                 self.model.scale, jax.core.Tracer
-            )
+            ):
+                return False
+            k, d = self.model.means.shape
+            return d <= 64 and k * d <= 1024
+        if type(self.model) is GaussianEnergy:
+            return self._isotropic_gaussian_scale() is not None
         return False
+
+    def _isotropic_gaussian_scale(self):
+        """σ if ``model`` is a concrete isotropic Gaussian (cov = σ²I), else None."""
+        import numpy as np
+
+        m = self.model
+        if isinstance(m.cov, jax.core.Tracer) or isinstance(m.mean, jax.core.Tracer):
+            return None
+        cov = np.asarray(m.cov)
+        var = float(cov[0, 0])
+        if var <= 0 or not np.allclose(cov, var * np.eye(cov.shape[0]), atol=1e-12):
+            return None
+        return float(np.sqrt(var))
 
     def sample(
         self,
@@ -138,6 +161,7 @@ class LangevinDynamics(BaseSampler):
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
             seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+            interpret = self.fused == "force" and jax.default_backend() != "tpu"
             if type(self.model) is DoubleWellEnergy:
                 return ops.doublewell_langevin_chain(
                     x0,
@@ -147,8 +171,23 @@ class LangevinDynamics(BaseSampler):
                     barrier_height=float(self.model.barrier_height),
                     b=float(self.model.b),
                     seed=seed,
+                    clamp=self.clamp,
+                    interpret=interpret,
                 )
-            if x0.ndim == 2 and x0.shape[-1] == 2 and self.model.means.shape[-1] == 2:
+            if type(self.model) is GaussianEnergy:
+                if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
+                    return ops.mixture_langevin_chain(
+                        x0,
+                        self.model.mean[None, :],
+                        n_steps,
+                        float(self.step_size),
+                        float(self.noise_scale),
+                        scale=self._isotropic_gaussian_scale(),
+                        seed=seed,
+                        clamp=self.clamp,
+                        interpret=interpret,
+                    )
+            elif x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
                 return ops.mixture_langevin_chain(
                     x0,
                     self.model.means,
@@ -158,8 +197,10 @@ class LangevinDynamics(BaseSampler):
                     scale=float(self.model.scale),
                     log_weights=self.model.log_weights,
                     seed=seed,
+                    clamp=self.clamp,
+                    interpret=interpret,
                 )
-            # mixture with unsupported dim: fall through to the scan path
+            # unsupported state shape: fall through to the scan path
         return super().sample(
             key,
             x=x,
