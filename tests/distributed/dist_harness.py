@@ -38,11 +38,20 @@ os.environ["XLA_FLAGS"] = (
 )
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(
-    coordinator_address={coord!r},
-    num_processes={nproc},
-    process_id={rank},
-)
+if {env_init!r}:
+    # launcher-style env config; the library's init_distributed() picks it up
+    os.environ["JAX_COORDINATOR_ADDRESS"] = {coord!r}
+    os.environ["JAX_NUM_PROCESSES"] = str({nproc})
+    os.environ["JAX_PROCESS_ID"] = str({rank})
+    from torchebm_tpu.parallel import init_distributed
+    rank, world = init_distributed()
+    assert (rank, world) == ({rank}, {nproc}), (rank, world)
+else:
+    jax.distributed.initialize(
+        coordinator_address={coord!r},
+        num_processes={nproc},
+        process_id={rank},
+    )
 
 {payload_src}
 
@@ -52,11 +61,15 @@ with open({out!r}, "w") as f:
 """
 
 
-def run_two_process(payload_src: str, timeout: int = 180):
+def run_two_process(payload_src: str, timeout: int = 180, env_init: bool = False):
     """Spawn NPROC children executing ``payload()`` (defined by payload_src).
 
     ``payload()`` must return a JSON-serializable dict. Returns the per-rank
-    result list ``[rank0, rank1]``.
+    result list ``[rank0, rank1]``. With ``env_init=True`` children configure
+    the cluster via ``JAX_COORDINATOR_ADDRESS``/``JAX_NUM_PROCESSES``/
+    ``JAX_PROCESS_ID`` env vars and go through the library's
+    ``init_distributed()`` instead of calling ``jax.distributed.initialize``
+    directly — the real multi-host launch path.
     """
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
     coord = f"localhost:{_free_port()}"
@@ -71,6 +84,7 @@ def run_two_process(payload_src: str, timeout: int = 180):
                 coord=coord,
                 nproc=NPROC,
                 rank=rank,
+                env_init=env_init,
                 payload_src=textwrap.dedent(payload_src),
                 out=out,
             )

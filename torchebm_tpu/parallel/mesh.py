@@ -19,6 +19,7 @@ Canonical axes:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import jax
@@ -111,19 +112,74 @@ def fsdp_shard_params(params: Any, mesh: Mesh, axis: str = "fsdp", min_size: int
     )
 
 
-def init_distributed(**kwargs) -> Tuple[int, int]:
+#: env vars whose presence marks a multi-host launch for auto-initialization.
+#: JAX_* triples configure us explicitly; the rest are cluster schedulers
+#: jax.distributed.initialize() itself knows how to auto-detect.
+_EXPLICIT_ENV = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+_AUTODETECT_ENV = (
+    "COORDINATOR_ADDRESS",
+    "SLURM_JOB_ID",
+    "OMPI_COMM_WORLD_SIZE",
+    "TORCHEBM_DISTRIBUTED",
+)
+
+
+def _distributed_client_active() -> bool:
+    """Whether ``jax.distributed.initialize`` already ran in this process."""
+    try:
+        from jax._src import distributed as _jd
+
+        return _jd.global_state.client is not None
+    except Exception:  # private API moved: fall back to "not initialized"
+        return False
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    **kwargs,
+) -> Tuple[int, int]:
     """Initialize multi-host JAX (``jax.distributed``); no-op if single-process.
 
     Returns ``(process_index, process_count)``. Safe to call unconditionally —
-    the reference's "helpers degrade to identity" rule.
+    the reference's "helpers degrade to identity" rule
+    (``torchebm/distributed.py:24-36``). Resolution order:
+
+    1. already initialized → return current (rank, world);
+    2. explicit kwargs (or the ``JAX_COORDINATOR_ADDRESS`` /
+       ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` env triple) →
+       ``jax.distributed.initialize(**explicit)``;
+    3. a cluster environment is detected (Slurm/OpenMPI/``COORDINATOR_ADDRESS``
+       or ``TORCHEBM_DISTRIBUTED=1``) → ``jax.distributed.initialize()`` with
+       JAX's own auto-detection;
+    4. otherwise: single-process, touch nothing.
     """
-    try:
-        if jax.process_count() > 1 or kwargs:
-            pass  # already initialized or explicit args provided
-    except RuntimeError:
-        pass
-    if kwargs:
-        jax.distributed.initialize(**kwargs)
+    if _distributed_client_active():
+        return jax.process_index(), jax.process_count()
+
+    env = os.environ
+    if coordinator_address is None:
+        coordinator_address = env.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
+    explicit = {
+        k: v
+        for k, v in dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        ).items()
+        if v is not None
+    }
+    explicit.update(kwargs)
+
+    if explicit:
+        jax.distributed.initialize(**explicit)
+    elif any(env.get(v) for v in _AUTODETECT_ENV):
+        jax.distributed.initialize()
     return jax.process_index(), jax.process_count()
 
 
