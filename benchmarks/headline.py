@@ -186,6 +186,81 @@ def bench_pcd_mnist(iters: int) -> dict:
             "config": "PCD k=40, ConvEnergy2D, batch 64, 28x28, buffer 4096"}
 
 
+def bench_pcd_mnist_bf16(iters: int) -> dict:
+    """BASELINE config 4 under the bf16 mixed-precision policy (params f32,
+    conv compute bf16) — the MXU speedup measurement the policy exists for."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchebm_tpu.models import ConvEnergy2D
+
+    key = jax.random.PRNGKey(0)
+    run = _cd_step_factory(
+        ConvEnergy2D(channels=(32, 64, 64), dtype=jnp.bfloat16), (1, 28, 28),
+        batch=64, k_steps=40, step_size=10.0, persistent=True,
+        buffer_size=4096, key=key, clamp=(-1.0, 1.0),
+    )
+    per_step = _slope_time(run, 5, 55, iters)
+    return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
+            "config": "PCD k=40, ConvEnergy2D bf16 compute, batch 64, 28x28"}
+
+
+def bench_dit_step(iters: int) -> dict:
+    """DiT flow-matching train step, f32 vs bf16 compute.
+
+    Measured caveat (v5e): XLA's DEFAULT matmul precision already feeds the
+    MXU bf16 operands for f32 arrays, so the policy's speedup is activation
+    bandwidth + memory, not raw matmul rate — ~0.94x (noise) at DiT-384x6
+    batch 64, 1.31x at DiT-768x12 batch 256 (this config). The policy's other
+    win, halved activation memory, doesn't show in wall time here.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchebm_tpu.models import ConditionalTransformer2D
+
+    key = jax.random.PRNGKey(0)
+    batch = 256
+
+    def make_run(dtype):
+        net = ConditionalTransformer2D(
+            in_channels=1, out_channels=1, input_size=32, patch_size=4,
+            embed_dim=768, depth=12, num_heads=12, cond_dim=768, dtype=dtype,
+        )
+        x = jax.random.normal(key, (batch, 1, 32, 32))
+        cond = jax.random.normal(key, (batch, 768))
+        params = net.init(key, x[:1], cond[:1])
+        opt = optax.adamw(1e-4)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(p, s, k):
+            tgt = jax.random.normal(k, x.shape)
+            l, g = jax.value_and_grad(
+                lambda pp: jnp.mean(jnp.square(net.apply(pp, x, cond) - tgt))
+            )(p)
+            u, s = opt.update(g, s, p)
+            return optax.apply_updates(p, u), s, l
+
+        def run(n, i):
+            p, s, l = params, opt_state, None
+            for j in range(n):
+                p, s, l = step(p, s, jax.random.fold_in(key, i * 100_003 + j))
+            return l
+
+        return run
+
+    per32 = _slope_time(make_run(jnp.float32), 2, 12, iters)
+    per16 = _slope_time(make_run(jnp.bfloat16), 2, 12, iters)
+    return {
+        "f32_steps_per_s": 1.0 / per32,
+        "bf16_steps_per_s": 1.0 / per16,
+        "bf16_speedup": per32 / per16,
+        "config": "DiT 768x12 flow-matching step, batch 256, 32x32 images",
+    }
+
+
 def bench_flow(iters: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -249,6 +324,8 @@ BENCHES = {
     "hmc_ess": bench_hmc_ess,
     "cd_train_2d": bench_cd_2d,
     "pcd_mnist_conv": bench_pcd_mnist,
+    "pcd_mnist_conv_bf16": bench_pcd_mnist_bf16,
+    "dit_step": bench_dit_step,
     "flow": bench_flow,
 }
 

@@ -72,10 +72,18 @@ def main():
         images, labels = images[:512], labels[:512]
     print(f"dataset: {images.shape}, labels {labels.shape}")
 
+    # TORCHEBM_BF16=1 flips on the mixed-precision policy: params/optimizer
+    # stay f32 master weights, the backbone's matmuls run on the MXU in bf16
+    # (torchebm_tpu.utils.bf16_policy; reference base_module.py:143-176).
+    from torchebm_tpu.utils import bf16_policy, f32_policy
+
+    policy = bf16_policy() if os.environ.get("TORCHEBM_BF16") == "1" else f32_policy()
+    print(f"compute dtype: {policy.compute_dtype.__name__}")
     net = LabelDiT(
         embed_dim=64 if smoke else 192,
         depth=2 if smoke else 6,
         num_heads=2 if smoke else 6,
+        dtype=policy.compute_dtype,
     )
     x_init = jnp.zeros((1, 1, 28, 28))
     params = net.init(

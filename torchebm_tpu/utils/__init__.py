@@ -1,5 +1,6 @@
 """Training + profiling utilities (reference ``torchebm/utils/__init__.py:10-16``)."""
 
+from .precision import Policy, bf16_policy, cast_floating, f32_policy
 from .profiling import benchmark_fn, profile_context, record_function
 from .training import (
     freeze_mask,
@@ -18,4 +19,8 @@ __all__ = [
     "profile_context",
     "record_function",
     "benchmark_fn",
+    "Policy",
+    "bf16_policy",
+    "f32_policy",
+    "cast_floating",
 ]
