@@ -76,7 +76,16 @@ def cmd_compare(args) -> int:
     if not (os.path.exists(LATEST) and os.path.exists(BASELINE)):
         print("need both latest.json and baseline.json", file=sys.stderr)
         return 1
-    sp = _speedups(_load(LATEST), _load(BASELINE))
+    latest, baseline = _load(LATEST), _load(BASELINE)
+    if latest.get("backend") != baseline.get("backend"):
+        print(
+            f"WARNING: backend mismatch — latest={latest.get('backend')} vs "
+            f"baseline={baseline.get('backend')}; speedups compare different "
+            "hardware (re-promote a baseline on this backend with "
+            "`run.py baseline`)",
+            file=sys.stderr,
+        )
+    sp = _speedups(latest, baseline)
     if not sp:
         print("no common benchmarks", file=sys.stderr)
         return 1
@@ -90,7 +99,42 @@ def cmd_compare(args) -> int:
     return 0
 
 
+def _geomean(values) -> float:
+    vals = [v for v in values if v > 0]
+    if not vals:
+        return float("nan")
+    return math.exp(sum(math.log(v) for v in vals) / len(vals))
+
+
+def _sparkline(series, width=160, height=28) -> str:
+    """Inline SVG sparkline of a time series (lower = faster = better)."""
+    if len(series) < 2:
+        return f"<code>{series[0] * 1e3:.2f} ms</code>" if series else ""
+    lo, hi = min(series), max(series)
+    span = (hi - lo) or 1.0
+    n = len(series)
+    pts = " ".join(
+        f"{i * (width - 4) / (n - 1) + 2:.1f},"
+        f"{height - 3 - (height - 8) * (v - lo) / span:.1f}"
+        for i, v in enumerate(series)
+    )
+    last_x = (n - 1) * (width - 4) / (n - 1) + 2
+    last_y = height - 3 - (height - 8) * (series[-1] - lo) / span
+    return (
+        f'<svg width="{width}" height="{height}">'
+        f'<polyline points="{pts}" fill="none" stroke="#36c" stroke-width="1.5"/>'
+        f'<circle cx="{last_x:.1f}" cy="{last_y:.1f}" r="2.5" fill="#36c"/></svg>'
+    )
+
+
 def cmd_dashboard(args) -> int:
+    """Longitudinal per-module dashboard over the run_*.json history.
+
+    The reference's dashboard view (``benchmarks/dashboard.py`` +
+    ``data.py``): per-module summary cards with geomean trends across run
+    history, a latest-vs-baseline comparison when a baseline exists, and
+    per-benchmark sparklines.
+    """
     runs = sorted(
         f for f in os.listdir(RESULTS_DIR) if f.startswith("run_") and f.endswith(".json")
     ) if os.path.isdir(RESULTS_DIR) else []
@@ -105,31 +149,93 @@ def cmd_dashboard(args) -> int:
         for k, v in data["results"].items():
             histories.setdefault(k, []).append((fname, v["median_s"]))
 
-    rows = []
-    for k in sorted(histories):
-        hist = histories[k]
-        latest = hist[-1][1]
-        first = hist[0][1]
-        trend = first / latest if latest else float("nan")
-        spark = " ".join(f"{t * 1e3:.2f}" for _, t in hist[-8:])
-        rows.append(
-            f"<tr><td>{k}</td><td>{latest * 1e3:.3f} ms</td>"
-            f"<td>{trend:.2f}x</td><td><code>{spark}</code></td></tr>"
+    baseline = _load(BASELINE) if os.path.exists(BASELINE) else None
+
+    # ---- per-module grouping: "module.Component[scale]" -> module
+    modules: dict = {}
+    for k in histories:
+        modules.setdefault(k.split(".", 1)[0], []).append(k)
+
+    # ---- module summary: geomean trend (first run -> latest) + vs baseline
+    mod_rows = []
+    for mod in sorted(modules):
+        keys = modules[mod]
+        trends, base_sp = [], []
+        series_by_run: dict = {}
+        for k in keys:
+            hist = histories[k]
+            if len(hist) >= 2 and hist[-1][1] > 0:
+                trends.append(hist[0][1] / hist[-1][1])
+            for fname, v in hist:
+                series_by_run.setdefault(fname, []).append(v)
+            if baseline and k in baseline["results"] and hist[-1][1] > 0:
+                base_sp.append(baseline["results"][k]["median_s"] / hist[-1][1])
+        # module geomean-median per run -> sparkline of the module trend
+        mod_series = [_geomean(series_by_run[f]) for f, _ in meta if f in series_by_run]
+        trend = _geomean(trends) if trends else float("nan")
+        vs_base = _geomean(base_sp) if base_sp else float("nan")
+        mod_rows.append(
+            f"<tr><td><a href='#{mod}'>{mod}</a></td><td>{len(keys)}</td>"
+            f"<td>{trend:.2f}x</td>"
+            f"<td>{'' if math.isnan(vs_base) else f'{vs_base:.2f}x'}</td>"
+            f"<td>{_sparkline(mod_series)}</td></tr>"
         )
+
+    # ---- per-benchmark detail tables, one section per module
+    sections = []
+    for mod in sorted(modules):
+        rows = []
+        for k in sorted(modules[mod]):
+            hist = histories[k]
+            series = [v for _, v in hist]
+            latest = series[-1]
+            trend = series[0] / latest if latest else float("nan")
+            vs_base = ""
+            if baseline and k in baseline["results"] and latest > 0:
+                vs_base = f"{baseline['results'][k]['median_s'] / latest:.2f}x"
+            rows.append(
+                f"<tr><td>{k}</td><td>{latest * 1e3:.3f} ms</td>"
+                f"<td>{trend:.2f}x</td><td>{vs_base}</td>"
+                f"<td>{_sparkline(series)}</td></tr>"
+            )
+        sections.append(
+            f"<h2 id='{mod}'>{mod}</h2><table><tr><th>benchmark</th>"
+            "<th>latest median</th><th>vs first run</th><th>vs baseline</th>"
+            f"<th>history ({len(runs)} runs)</th></tr>" + "".join(rows) + "</table>"
+        )
+
+    all_trends = [
+        h[0][1] / h[-1][1] for h in histories.values() if len(h) >= 2 and h[-1][1] > 0
+    ]
+    overall = _geomean(all_trends) if all_trends else float("nan")
+    run_list = "".join(
+        f"<li><code>{f}</code> ({b})</li>" for f, b in meta[-10:]
+    )
     html = (
         "<html><head><title>torchebm_tpu benchmarks</title><style>"
-        "body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}"
-        "td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}</style></head>"
-        f"<body><h1>torchebm_tpu benchmarks</h1><p>{len(runs)} runs; latest backend: "
-        f"{meta[-1][1]}</p><table><tr><th>benchmark</th><th>latest median</th>"
-        "<th>vs first run</th><th>history (ms)</th></tr>"
-        + "".join(rows)
-        + "</table></body></html>"
+        "body{font-family:sans-serif;margin:2em;max-width:70em}"
+        "table{border-collapse:collapse;margin-bottom:1.5em}"
+        "td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}"
+        "th{background:#f5f5f5}h2{margin-top:1.5em}</style></head>"
+        f"<body><h1>torchebm_tpu benchmarks</h1>"
+        f"<p>{len(runs)} runs; latest backend: {meta[-1][1]}; overall geomean "
+        f"trend (first→latest): <b>{overall:.2f}x</b>"
+        + (" — baseline loaded" if baseline else " — no baseline.json")
+        + "</p>"
+        "<h2>Modules</h2><table><tr><th>module</th><th>benchmarks</th>"
+        "<th>geomean trend</th><th>geomean vs baseline</th><th>trend</th></tr>"
+        + "".join(mod_rows)
+        + "</table>"
+        + "".join(sections)
+        + f"<h2>Runs</h2><ul>{run_list}</ul></body></html>"
     )
     out = os.path.join(RESULTS_DIR, "dashboard.html")
     with open(out, "w") as f:
         f.write(html)
-    print(f"dashboard -> {out}")
+    print(
+        f"dashboard -> {out} ({len(runs)} runs, {len(histories)} benchmarks, "
+        f"{len(modules)} modules)"
+    )
     return 0
 
 
