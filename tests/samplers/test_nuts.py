@@ -48,6 +48,26 @@ def test_warmup_then_sample(key):
     np.testing.assert_allclose(jnp.var(out, 0), jnp.array([1.0, 9.0]), rtol=0.25)
 
 
+def test_warmup_targets_acceptance(key):
+    """Dual averaging must land the post-warmup acceptance NEAR the target,
+    not merely above a floor — and different targets must steer it."""
+    e = GaussianEnergy.create(jnp.zeros(2), jnp.array([[1.0, 0.5], [0.5, 1.0]]))
+    accs = {}
+    for target in (0.6, 0.9):
+        nuts = NoUTurnSampler(e, step_size=0.4, target_accept=target)
+        x, eps = nuts.warmup(key, dim=2, n_warmup=400, n_samples=256)
+        _, diag = nuts.replace(step_size=eps).sample(
+            jax.random.fold_in(key, hash(target) % 1000),
+            x=x, n_steps=300, return_diagnostics=True,
+        )
+        accs[target] = float(jnp.mean(diag["acceptance_rate"]))
+    # calibrated to the target within MC + NUTS-multinomial slack
+    assert abs(accs[0.9] - 0.9) < 0.09, accs
+    assert accs[0.6] - 0.6 > -0.12, accs
+    # steering: higher target => higher achieved acceptance
+    assert accs[0.9] > accs[0.6], accs
+
+
 def test_double_well_both_modes(key):
     nuts = NoUTurnSampler(DoubleWellEnergy(barrier_height=1.0), step_size=0.4)
     out = nuts.sample(key, dim=1, n_samples=512, n_steps=200)

@@ -148,7 +148,10 @@ class BaseRungeKuttaIntegrator(BaseIntegrator):
             k_next = drift(base + coef * k, t)
             return k_next, _rms_norm(k_next - k), it + 1
 
-        k, _, _ = jax.lax.while_loop(cond, body, (k0, jnp.float32(jnp.inf), 0))
+        # residual dtype must track the state dtype (f64 under enable_x64)
+        k, _, _ = jax.lax.while_loop(
+            cond, body, (k0, jnp.asarray(jnp.inf, k0.dtype), 0)
+        )
         return k
 
     def _evaluate_stages(self, x: Array, t, h, drift: DriftFn, k0: Optional[Array] = None) -> list:
@@ -288,6 +291,11 @@ class BaseRungeKuttaIntegrator(BaseIntegrator):
             ks = self._evaluate_stages(xc, t_cur, h, drift, k0=k1c if is_fsal else None)
             y_new = self._combine(xc, h, ks, self.tableau_b)
             if is_fsal:
+                # NOTE: tableaus here store only the s "real" stages (dopri5:
+                # 6), so this extra eval at the accepted point is NOT
+                # redundant — it is the (s+1)-th error stage AND the next
+                # step's first stage. Per accepted step the drift costs s
+                # evals, the FSAL minimum.
                 k_fsal = drift(y_new, t_cur + h)
                 ks_err = ks + [k_fsal]
             else:

@@ -158,7 +158,9 @@ class GeneralisedLeapfrogIntegrator(BaseSymplecticIntegrator):
             resid = jnp.sqrt(jnp.mean(jnp.square(y_next - y)))
             return y_next, resid, it + 1
 
-        y, _, _ = jax.lax.while_loop(cond, body, (update(init), jnp.float32(jnp.inf), 0))
+        y0 = update(init)
+        # residual dtype must track the state dtype (f64 under enable_x64)
+        y, _, _ = jax.lax.while_loop(cond, body, (y0, jnp.asarray(jnp.inf, y0.dtype), 0))
         return y
 
     def step(
