@@ -67,6 +67,7 @@ def main():
     on = float(jnp.mean(e(data[:512])))
     off = float(jnp.mean(e(jnp.full((512, 2), 3.0))))
     print(f"E[data]={on:.3f}  E[off-manifold]={off:.3f}  (data should be lower)")
+    assert on < off, "DSM energy must be lower at data than off-manifold"
     print("OK")
 
 

@@ -59,10 +59,12 @@ def test_hessian_method_validation():
 
 
 def test_dsm_analytic_optimum(key):
-    r"""DSM regresses ∇E onto −noise/σ² (the reference's sign convention,
-    ``score_matching.py:359-370`` + ``base_loss.py:640-681``): the minimizer
-    is ∇E(x̃) = −x̃/(1+σ²) for N(0,I) data. Check the closed-form optimum
-    beats Gaussian-family alternatives."""
+    r"""DSM regresses the model score −∇E onto −noise/σ²: for N(0,I) data the
+    minimizer is the TRUE smoothed energy E(x̃) = ‖x̃‖²/2(1+σ²) — i.e. exactly
+    ``GaussianEnergy`` with variance 1+σ², which Langevin/HMC can then sample
+    directly. (Deliberate sign fix vs the reference, whose convention trains
+    an inverted energy — see ``DenoisingScoreMatching.__call__``.) Check the
+    closed-form optimum beats Gaussian-family and rescaled alternatives."""
     from torchebm_tpu.core import as_energy
 
     x = jax.random.normal(key, (4096, 2))
@@ -72,15 +74,34 @@ def test_dsm_analytic_optimum(key):
     def loss_of(model):
         return float(DenoisingScoreMatching(model=model, noise_scale=sigma)(None, x, k_loss))
 
-    opt = as_energy(lambda xx: -0.5 * jnp.sum(xx**2, -1) / (1 + sigma**2))
+    opt = GaussianEnergy.create(jnp.zeros(2), (1 + sigma**2) * jnp.eye(2))
     l_opt = loss_of(opt)
-    for s_sq in (0.5, 1.0, 1 + sigma**2, 3.0):
+    for s_sq in (0.5, 1.0, 3.0):
         l_g = loss_of(GaussianEnergy.create(jnp.zeros(2), s_sq * jnp.eye(2)))
         assert l_opt < l_g, (l_opt, s_sq, l_g)
-    # slightly off-optimal negated energies are also worse
+    # rescaled (off-optimal) energies are also worse
     for c in (0.5, 2.0):
-        near = as_energy(lambda xx, c=c: -0.5 * c * jnp.sum(xx**2, -1) / (1 + sigma**2))
+        near = as_energy(lambda xx, c=c: 0.5 * c * jnp.sum(xx**2, -1) / (1 + sigma**2))
         assert l_opt <= loss_of(near) + 1e-4
+    # the reference's inverted optimum is now maximally wrong
+    inverted = as_energy(lambda xx: -0.5 * jnp.sum(xx**2, -1) / (1 + sigma**2))
+    assert l_opt < loss_of(inverted)
+
+
+def test_dsm_trained_energy_is_sampler_compatible(key):
+    """The DSM sign contract end-to-end: the analytic optimum's Langevin
+    chain must contract TOWARD the data distribution (the reference's
+    convention sends it away)."""
+    from torchebm_tpu.samplers import LangevinDynamics
+
+    sigma = 0.5
+    opt = GaussianEnergy.create(jnp.zeros(2), (1 + sigma**2) * jnp.eye(2))
+    sampler = LangevinDynamics(opt, step_size=0.05, fused="off")
+    out = sampler.sample(key, x=3.0 * jnp.ones((512, 2)), n_steps=300)
+    assert float(jnp.max(jnp.abs(jnp.mean(out, 0)))) < 0.2
+    np.testing.assert_allclose(
+        np.asarray(jnp.var(out, 0)), (1 + sigma**2) * np.ones(2), rtol=0.25
+    )
 
 
 def test_dsm_trains(mlp_energy, gauss_data, key):

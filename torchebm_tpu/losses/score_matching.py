@@ -125,9 +125,11 @@ class ScoreMatching(BaseScoreMatching):
 
 @struct.dataclass
 class DenoisingScoreMatching(BaseScoreMatching):
-    r"""Vincent (2011) DSM: perturb with σ-noise, regress the model score onto
-    :math:`-\text{noise}/\sigma^2` (reference ``score_matching.py:242-370``).
-    Conditional-capable."""
+    r"""Vincent (2011) DSM: perturb with σ-noise, regress the model score
+    :math:`-\nabla E` onto :math:`-\text{noise}/\sigma^2` (reference
+    ``score_matching.py:242-370``; see ``__call__`` for the deliberate sign
+    fix vs the reference). Conditional-capable. The trained energy is
+    directly sampleable with the library's Langevin/HMC samplers."""
 
     model: Energy = None
     noise_scale: float = struct.field(pytree_node=False, default=0.01)
@@ -137,7 +139,15 @@ class DenoisingScoreMatching(BaseScoreMatching):
     def __call__(self, params, x, key, *, model_kwargs=None):
         model = self._model(params)
         x_perturbed, noise = self.perturb_data(x, key, self.noise_scale)
-        score = self.compute_score(model, x_perturbed, model_kwargs)
+        # Regress the model score  s = -∇E  onto  ∇ log q(x̃|x) = -noise/σ²,
+        # i.e. ∇E(x̃) → +noise/σ²: the trained E is LOW at data, so the same
+        # Langevin/HMC samplers used for CD models draw from it directly, and
+        # the convention matches ScoreMatching/SlicedScoreMatching (score =
+        # -∇E). DELIBERATE sign deviation from the reference
+        # (``score_matching.py:361``, which regresses +∇E onto -noise/σ² —
+        # producing an inverted energy its own Langevin sampler then descends
+        # AWAY from the data).
+        score = -self.compute_score(model, x_perturbed, model_kwargs)
         target = -noise / (self.noise_scale**2)
         loss = 0.5 * jnp.mean(
             jnp.sum(jnp.square(score - target).reshape(x.shape[0], -1), axis=-1)
