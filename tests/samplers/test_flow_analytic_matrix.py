@@ -111,3 +111,66 @@ def test_sde_matches_ode_marginal(key):
     b = sde.sample(jax.random.fold_in(key, 1), dim=2, n_samples=4000, n_steps=250)
     assert float(jnp.max(jnp.abs(jnp.mean(a, 0) - jnp.mean(b, 0)))) < 0.15
     assert float(jnp.max(jnp.abs(jnp.var(a, 0) - jnp.var(b, 0)))) < 0.15
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "form", ["constant", "SBDM", "sigma", "linear", "decreasing", "increasing-decreasing"]
+)
+def test_sde_every_diffusion_form_preserves_marginal(form, key):
+    """ALL six diffusion forms inject-and-remove noise consistently: with the
+    exact score, each must land on the same N(μ, s²I) target (the drift
+    compensation ``drift = PF-drift + D·score`` is form-dependent, so a wrong
+    D shows up as a variance bias). Quantitative upgrade of the shape-only
+    form coverage in test_flow.py."""
+    fs = FlowSampler(
+        model=optimal_field("linear", "score"),
+        interpolant="linear",
+        prediction="score",
+        mode="sde",
+        integrator="euler",
+        diffusion_form=form,
+        diffusion_norm=0.6,
+        sample_eps=0.01,
+    )
+    out = fs.sample(key, dim=2, n_samples=4000, n_steps=300)
+    mean = jnp.mean(out, axis=0)
+    var = jnp.var(out, axis=0)
+    assert float(jnp.max(jnp.abs(mean - MU))) < 0.15, (form, mean)
+    assert float(jnp.max(jnp.abs(var - S**2))) < 0.2, (form, var)
+
+
+@pytest.mark.slow
+def test_sde_last_step_corrections_fix_terminal_mean(key):
+    """With a LARGE last-step gap (SDE integration stops at t = 1 − 0.15,
+    where the marginal mean is only α(1−0.15)·μ = 0.85μ), every correction
+    strategy must close most of the 0.15·‖μ‖ mean bias an uncorrected stop
+    leaves behind. (Variance is NOT asserted for Tweedie: jumping to
+    E[x₁|x_t] under-disperses by construction — Jensen.)"""
+    lss = 0.15
+    base = dict(
+        model=optimal_field("linear", "score"),
+        interpolant="linear",
+        prediction="score",
+        mode="sde",
+        integrator="euler",
+    )
+
+    def terminal_mean(**kw):
+        fs = FlowSampler(**base, **kw)
+        out = fs.sample(key, dim=2, n_samples=6000, n_steps=100)
+        return jnp.mean(out, axis=0)
+
+    # uncorrected stop at t1 = 1 - lss (via sample_eps, no last_step)
+    m_stop = terminal_mean(sample_eps=lss, last_step=None)
+    bias_stop = float(jnp.linalg.norm(m_stop - MU))
+    assert bias_stop > 0.5 * lss * float(jnp.linalg.norm(MU)), bias_stop
+
+    for strategy in ("Mean", "Euler", "Tweedie"):
+        m = terminal_mean(sample_eps=0.01, last_step=strategy, last_step_size=lss)
+        bias = float(jnp.linalg.norm(m - MU))
+        assert bias < 0.5 * bias_stop, (strategy, bias, bias_stop)
+
+    # Tweedie's exact-denoising jump should land essentially ON the mean
+    m_tw = terminal_mean(sample_eps=0.01, last_step="Tweedie", last_step_size=lss)
+    assert float(jnp.linalg.norm(m_tw - MU)) < 0.05
