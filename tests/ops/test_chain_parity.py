@@ -189,6 +189,54 @@ def test_hmc_chain_noise_parity(key, d, k):
     np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_draws), atol=1e-5)
 
 
+def test_hmc_chain_diag_mass_parity(key):
+    """Diagonal-mass HMC kernel vs the plain-jnp reference with library
+    semantics: p = ε√m, K = ½Σp²/m, q += h·p/m."""
+    n, n_draws, n_lf, d, k = 33, 5, 3, 3, 4
+    h, scale = 0.2, 0.8
+    mass = jnp.array([1.0, 4.0, 0.25])
+    means = 2.5 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_draws, n, d))
+    unif = jax.random.uniform(jax.random.fold_in(key, 5), (n_draws, n))
+
+    samples, acc = mixture_hmc_chain(
+        x0, means, n_draws, h, n_lf, scale=scale, log_weights=logw, mass=mass,
+        noise=noise, uniforms=unif, interpret=INTERPRET,
+    )
+
+    inv_var = 1.0 / scale**2
+    minv = 1.0 / mass
+    x = x0
+    acc_sum = jnp.zeros((n,))
+    for t in range(n_draws):
+        p = noise[t] * jnp.sqrt(mass)
+        g, lp0 = _mix_grad_logp(x, means, logw, inv_var)
+        k0 = p[:, 0] * p[:, 0] * minv[0]
+        for i in range(1, d):
+            k0 = k0 + p[:, i] * p[:, i] * minv[i]
+        h0 = -lp0 + 0.5 * k0
+        q, mom = x, p
+        for _ in range(n_lf):
+            mom = mom - 0.5 * h * g
+            q = q + h * mom * minv
+            g, _ = _mix_grad_logp(q, means, logw, inv_var)
+            mom = mom - 0.5 * h * g
+        _, lp1 = _mix_grad_logp(q, means, logw, inv_var)
+        k1 = mom[:, 0] * mom[:, 0] * minv[0]
+        for i in range(1, d):
+            k1 = k1 + mom[:, i] * mom[:, i] * minv[i]
+        h1 = -lp1 + 0.5 * k1
+        accept_prob = jnp.minimum(jnp.exp(jnp.clip(h0 - h1, -50.0, 50.0)), 1.0)
+        take = unif[t] < accept_prob
+        x = jnp.where(take[:, None], q, x)
+        g, _ = _mix_grad_logp(x, means, logw, inv_var)
+        acc_sum = acc_sum + accept_prob
+    np.testing.assert_allclose(np.asarray(samples), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_draws), atol=1e-5)
+
+
 def test_hmc_noise_requires_uniforms(key):
     x0 = jnp.zeros((8, 2))
     means = jnp.zeros((1, 2))

@@ -117,7 +117,7 @@ class TestFusedDispatch:
 
     def _stub(self, calls):
         def stub(x0, means, n_draws, step_size, n_leapfrog, *, scale, log_weights,
-                 seed, interpret=False):
+                 mass=None, seed, interpret=False):
             calls.append((x0.shape, means.shape, n_draws, step_size, n_leapfrog))
             return x0, jnp.ones(x0.shape[0])
         return stub
@@ -179,21 +179,39 @@ class TestFusedDispatch:
         hmc = HamiltonianMonteCarlo(mix, step_size=0.3, fused="force")
         hmc.sample(key, dim=2, n_samples=8, n_steps=3, **mk)
 
-    def test_mass_and_nonmixture_fall_back(self, key, monkeypatch):
-        from torchebm_tpu.core import GaussianMixtureEnergy
+    def test_nonmixture_falls_back(self, key, monkeypatch):
         import torchebm_tpu.ops.fused_hmc as fh
 
         def boom(*a, **k):  # pragma: no cover
             raise AssertionError("must not dispatch")
 
         monkeypatch.setattr(fh, "mixture_hmc_chain", boom)
+        HamiltonianMonteCarlo(DoubleWellEnergy(), step_size=0.1, fused="force").sample(
+            key, dim=2, n_samples=4, n_steps=2
+        )
+
+    def test_diag_mass_dispatches(self, key, monkeypatch):
+        """Round-2 widening: scalar / (d,) diagonal mass (the
+        warmup(adapt_mass=True) output) stays on the kernel path."""
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        seen = []
+
+        def stub(x0, means, n_draws, step_size, n_leapfrog, *, mass=None, **kw):
+            seen.append(None if mass is None else jnp.asarray(mass))
+            return x0, jnp.ones(x0.shape[0])
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain", stub)
         mix = GaussianMixtureEnergy.eight_gaussians()
         HamiltonianMonteCarlo(mix, step_size=0.3, mass=2.0, fused="force").sample(
             key, dim=2, n_samples=4, n_steps=2
         )
-        HamiltonianMonteCarlo(DoubleWellEnergy(), step_size=0.1, fused="force").sample(
-            key, dim=2, n_samples=4, n_steps=2
-        )
+        HamiltonianMonteCarlo(
+            mix, step_size=0.3, mass=jnp.array([1.0, 4.0]), fused="force"
+        ).sample(key, dim=2, n_samples=4, n_steps=2)
+        assert float(seen[0]) == 2.0
+        assert seen[1].tolist() == [1.0, 4.0]
 
     def test_traced_calls_fall_back(self, key, monkeypatch):
         from torchebm_tpu.core import GaussianMixtureEnergy

@@ -48,21 +48,35 @@ Array = jax.Array
 __all__ = ["mixture_hmc_chain"]
 
 
-def _hmc_draw(x, p, u, means, *, n_leapfrog, step_size, inv_var, n_components, d):
-    """One MH-corrected HMC draw on tile lists; returns (new_x, accept_prob)."""
+def _hmc_draw(x, eps, u, means, *, n_leapfrog, step_size, inv_var, n_components,
+              d, use_mass):
+    """One MH-corrected HMC draw on tile lists; returns (new_x, accept_prob).
+
+    ``eps`` are standard-normal tiles; with ``use_mass`` the per-dimension
+    diagonal masses live in row ``d+1`` of the params tile and the library
+    semantics apply (``samplers/hmc.py:119-133``): momentum ``p = ε√m``,
+    kinetic ``½Σp²/m``, drift ``q += h·p/m``.
+    """
     h = step_size
+    if use_mass:
+        msqrt = [jnp.sqrt(means[d + 1, i]) for i in range(d)]
+        minv = [1.0 / means[d + 1, i] for i in range(d)]
+    else:
+        msqrt = [1.0] * d
+        minv = [1.0] * d
+    p = [eps[i] * msqrt[i] for i in range(d)]
     coords = _split_coords(x, d)
     grads, lp0 = _mixture_grad_logp(coords, means, inv_var, n_components)
-    k0 = p[0] * p[0]
+    k0 = p[0] * p[0] * minv[0]
     for i in range(1, d):
-        k0 = k0 + p[i] * p[i]
+        k0 = k0 + p[i] * p[i] * minv[i]
     h0 = -lp0 + 0.5 * k0
 
     # leapfrog with force reuse: half-kick, drift, full gradient, half-kick
     def lf(_, s):
         q, mom, g = s[:d], s[d : 2 * d], s[2 * d :]
         mom = [mom[i] - 0.5 * h * g[i] for i in range(d)]
-        q = [q[i] + h * mom[i] for i in range(d)]
+        q = [q[i] + h * mom[i] * minv[i] for i in range(d)]
         ng, _ = _mixture_grad_logp(list(q), means, inv_var, n_components)
         mom = [mom[i] - 0.5 * h * ng[i] for i in range(d)]
         return tuple(q) + tuple(mom) + tuple(ng)
@@ -72,9 +86,9 @@ def _hmc_draw(x, p, u, means, *, n_leapfrog, step_size, inv_var, n_components, d
     )
     q, mom = state[:d], state[d : 2 * d]
     _, lp1 = _mixture_grad_logp(list(q), means, inv_var, n_components)
-    k1 = mom[0] * mom[0]
+    k1 = mom[0] * mom[0] * minv[0]
     for i in range(1, d):
-        k1 = k1 + mom[i] * mom[i]
+        k1 = k1 + mom[i] * mom[i] * minv[i]
     h1 = -lp1 + 0.5 * k1
     accept_prob = jnp.minimum(jnp.exp(jnp.clip(h0 - h1, -50.0, 50.0)), 1.0)
     take = u < accept_prob
@@ -85,18 +99,19 @@ def _hmc_draw(x, p, u, means, *, n_leapfrog, step_size, inv_var, n_components, d
 
 
 def _mixture_hmc_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref, *,
-                        n_draws, n_leapfrog, step_size, inv_var, n_components, d):
+                        n_draws, n_leapfrog, step_size, inv_var, n_components,
+                        d, use_mass):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     means = means_ref[...]
     tile = (8, x_ref.shape[1])
 
     def draw(_, carry):
         x, acc_sum = carry
-        p = _normal_tiles(tile, d)
+        eps = _normal_tiles(tile, d)
         u = _uniform_from_bits(tile)
         new_x, accept_prob = _hmc_draw(
-            x, p, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
-            inv_var=inv_var, n_components=n_components, d=d,
+            x, eps, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
+            inv_var=inv_var, n_components=n_components, d=d, use_mass=use_mass,
         )
         return new_x, acc_sum + accept_prob
 
@@ -109,19 +124,23 @@ def _mixture_hmc_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref, *,
 
 def _mixture_hmc_noise_kernel(x_ref, means_ref, noise_ref, unif_ref, out_ref,
                               acc_ref, *, n_draws, n_leapfrog, step_size,
-                              inv_var, n_components, d):
-    """Injected-randomness variant: exact-parity CI path (no in-kernel PRNG)."""
+                              inv_var, n_components, d, use_mass):
+    """Injected-randomness variant: exact-parity CI path (no in-kernel PRNG).
+
+    ``noise_ref`` holds standard normals; the mass scaling p = ε√m happens
+    in-kernel so the parity reference mirrors the library's momentum refresh.
+    """
     means = means_ref[...]
     tile = (8, x_ref.shape[1])
 
     def draw(t, carry):
         x, acc_sum = carry
         pt = noise_ref[pl.ds(t, 1)][0]
-        p = _split_coords(pt, d)
+        eps = _split_coords(pt, d)
         u = unif_ref[pl.ds(t, 1)][0]
         new_x, accept_prob = _hmc_draw(
-            x, p, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
-            inv_var=inv_var, n_components=n_components, d=d,
+            x, eps, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
+            inv_var=inv_var, n_components=n_components, d=d, use_mass=use_mass,
         )
         return new_x, acc_sum + accept_prob
 
@@ -141,6 +160,7 @@ def mixture_hmc_chain(
     *,
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
+    mass: Optional[Array] = None,
     seed: int = 0,
     noise: Optional[Array] = None,
     uniforms: Optional[Array] = None,
@@ -152,9 +172,13 @@ def mixture_hmc_chain(
     ``x0``: (n_chains, d); ``means``: (K, d). Returns ``(samples, accept)``
     where ``samples`` is the final state (n_chains, d) and ``accept`` the
     per-chain mean acceptance probability over all draws (n_chains,).
-    ``noise`` (momenta, shape ``(n_draws, n_chains, d)``) together with
-    ``uniforms`` (MH draws, shape ``(n_draws, n_chains)``) replaces the
-    in-kernel PRNG for exact-parity CI tests.
+    ``mass`` is an optional scalar or (d,) diagonal mass matrix with the
+    library semantics (p = ε√m, K = ½Σp²/m, q += h·p/m) — the output of
+    ``HamiltonianMonteCarlo.warmup(adapt_mass=True)`` stays on this fast
+    path. ``noise`` (standard-normal momenta seeds, shape
+    ``(n_draws, n_chains, d)``) together with ``uniforms`` (MH draws, shape
+    ``(n_draws, n_chains)``) replaces the in-kernel PRNG for exact-parity CI
+    tests.
     """
     n_chains, dim = x0.shape
     k, kd = means.shape
@@ -170,7 +194,9 @@ def mixture_hmc_chain(
 
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
-    packed = pack_mixture_params(means, log_weights)
+    if mass is not None:
+        mass = jnp.broadcast_to(jnp.asarray(mass, jnp.float32), (dim,))
+    packed = pack_mixture_params(means, log_weights, mass=mass)
     block = _mixture_block(lanes, dim, block_chains)
 
     kw = dict(
@@ -180,6 +206,7 @@ def mixture_hmc_chain(
         inv_var=1.0 / float(scale) ** 2,
         n_components=int(k),
         d=int(dim),
+        use_mass=mass is not None,
     )
     rows = 8 * dim
     state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)

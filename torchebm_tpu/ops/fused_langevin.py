@@ -396,19 +396,26 @@ def _mixture_chain_noise_kernel(x_ref, means_ref, noise_ref, out_ref, *,
     out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
 
 
-def pack_mixture_params(means: Array, log_weights: Optional[Array]) -> Array:
+def pack_mixture_params(
+    means: Array, log_weights: Optional[Array], mass: Optional[Array] = None
+) -> Array:
     """Pack (K, d) means + (K,) log-weights into the kernels' 2D tile.
 
     Layout: ``(round8(d+1), K_pad)`` — row ``i < d`` holds coordinate ``i`` of
     every mean, row ``d`` the log-weights, K padded to the 128-lane multiple.
+    With ``mass`` (a (d,) diagonal mass matrix, HMC kernels), row ``d+1``
+    carries the per-dimension masses in columns ``0..d-1``.
     """
     k, d = means.shape
     if log_weights is None:
         log_weights = jnp.full((k,), -math.log(k), jnp.float32)
     k_pad = _round_up(k, _LANE)
-    packed = jnp.zeros((_round_up(d + 1, 8), k_pad), jnp.float32)
+    rows = _round_up(d + 1 + (1 if mass is not None else 0), 8)
+    packed = jnp.zeros((rows, k_pad), jnp.float32)
     packed = packed.at[:d, :k].set(means.T)
     packed = packed.at[d, :k].set(log_weights)
+    if mass is not None:
+        packed = packed.at[d + 1, :d].set(jnp.broadcast_to(mass, (d,)))
     return packed
 
 

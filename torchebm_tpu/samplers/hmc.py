@@ -200,12 +200,19 @@ class HamiltonianMonteCarlo(BaseSampler):
         if not isinstance(self.step_size, (int, float)):
             return False
         if self.mass is not None:
-            return False
+            # scalar or (d,) diagonal concrete mass rides the kernel (the
+            # warmup(adapt_mass=True) output); anything traced falls back
+            if isinstance(self.mass, jax.core.Tracer):
+                return False
+            if jnp.ndim(self.mass) > 1:
+                return False
         if type(self.model) is not GaussianMixtureEnergy:
             return False
         if isinstance(self.model.means, jax.core.Tracer):
             return False
         k, d = self.model.means.shape
+        if jnp.ndim(self.mass) == 1 and jnp.shape(self.mass)[0] != d:
+            return False
         return d <= 64 and k * d <= 1024
 
     def sample(
@@ -241,6 +248,7 @@ class HamiltonianMonteCarlo(BaseSampler):
                     self.n_leapfrog_steps,
                     scale=float(self.model.scale),
                     log_weights=self.model.log_weights,
+                    mass=self.mass,
                     seed=seed,
                     interpret=self.fused == "force" and jax.default_backend() != "tpu",
                 )
