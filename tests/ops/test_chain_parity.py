@@ -244,3 +244,73 @@ def test_hmc_noise_requires_uniforms(key):
         mixture_hmc_chain(
             x0, means, 2, 0.1, noise=jnp.zeros((2, 8, 2)), interpret=INTERPRET
         )
+
+
+# ---------------------------------------------------------------------- MALA
+
+
+@pytest.mark.parametrize("d,k", [(2, 8), (4, 3)])
+def test_mala_chain_noise_parity(key, d, k):
+    from torchebm_tpu.ops import mixture_mala_chain
+
+    n, n_steps = 37, 7
+    eta, scale = 0.08, 0.7
+    means = 3.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+    unif = jax.random.uniform(jax.random.fold_in(key, 5), (n_steps, n))
+
+    samples, acc = mixture_mala_chain(
+        x0, means, n_steps, eta, scale=scale, log_weights=logw,
+        noise=noise, uniforms=unif, interpret=INTERPRET,
+    )
+
+    inv_var = 1.0 / scale**2
+    coef = math.sqrt(2 * eta)
+    x = x0
+    acc_sum = jnp.zeros((n,))
+    for t in range(n_steps):
+        gx, lp_x = _mix_grad_logp(x, means, logw, inv_var)
+        y = x - eta * gx + coef * noise[t]
+        gy, lp_y = _mix_grad_logp(y, means, logw, inv_var)
+        sq_xy = jnp.zeros((n,))
+        sq_yx = jnp.zeros((n,))
+        for i in range(d):  # kernel accumulation order
+            dxy = x[:, i] - y[:, i] + eta * gy[:, i]
+            dyx = y[:, i] - x[:, i] + eta * gx[:, i]
+            sq_xy = sq_xy + dxy * dxy
+            sq_yx = sq_yx + dyx * dyx
+        log_ratio = (lp_y - lp_x) + (sq_yx - sq_xy) / (4.0 * eta)
+        accept_prob = jnp.minimum(jnp.exp(jnp.clip(log_ratio, -50.0, 50.0)), 1.0)
+        take = unif[t] < accept_prob
+        x = jnp.where(take[:, None], y, x)
+        acc_sum = acc_sum + accept_prob
+    np.testing.assert_allclose(np.asarray(samples), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_steps), atol=1e-5)
+
+
+def test_mala_mh_ratio_is_exact_detailed_balance(key):
+    """With the exact mixture logp the kernel's MH chain must preserve the
+    target: start chains AT exact draws, run, and check moments stay put
+    (interpret mode on CPU, n small so this is a smoke-level invariance
+    check; the statistical version runs on TPU via the sampler dispatch)."""
+    from torchebm_tpu.core import GaussianMixtureEnergy
+    from torchebm_tpu.ops import mixture_mala_chain
+
+    mix = GaussianMixtureEnergy.create(jnp.array([[0.0, 1.5], [0.0, -1.5]]), scale=0.5)
+    x0 = mix.sample(key, 512)
+    n_steps = 20
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, 512, 2))
+    unif = jax.random.uniform(jax.random.fold_in(key, 2), (n_steps, 512))
+    samples, acc = mixture_mala_chain(
+        x0, mix.means, n_steps, 0.1, scale=0.5, noise=noise, uniforms=unif,
+        interpret=INTERPRET,
+    )
+    assert 0.3 < float(jnp.mean(acc)) <= 1.0
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(samples, 0)), np.asarray(jnp.mean(x0, 0)), atol=0.15
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.var(samples, 0)), np.asarray(jnp.var(x0, 0)), rtol=0.25
+    )

@@ -84,3 +84,61 @@ def test_jits_inside_user_program(key):
         return sampler.sample(k, dim=2, n_samples=8, n_steps=20)
 
     assert run(key).shape == (8, 2)
+
+
+class TestFusedDispatch:
+    """Eager TPU calls on mixtures route to the whole-chain MALA kernel."""
+
+    def test_force_routes_mixture(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_mala as fm
+
+        calls = []
+
+        def stub(x0, means, n_steps, step_size, *, scale, log_weights, seed,
+                 interpret=False):
+            calls.append((x0.shape, means.shape, n_steps, step_size))
+            return x0, jnp.ones(x0.shape[0])
+
+        monkeypatch.setattr(fm, "mixture_mala_chain", stub)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        mala = MetropolisAdjustedLangevin(mix, step_size=0.05, fused="force")
+        out = mala.sample(key, dim=2, n_samples=16, n_steps=6)
+        assert calls == [((16, 2), (8, 2), 6, 0.05)]
+        assert out.shape == (16, 2)
+
+    def test_auto_never_dispatches_on_cpu(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_mala as fm
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("fused MALA kernel called on CPU under 'auto'")
+
+        monkeypatch.setattr(fm, "mixture_mala_chain", boom)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        mala = MetropolisAdjustedLangevin(mix, step_size=0.05)
+        assert mala.sample(key, dim=2, n_samples=8, n_steps=3).shape == (8, 2)
+
+    def test_diagnostics_and_nonmixture_fall_back(self, key, monkeypatch):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_mala as fm
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("must not dispatch")
+
+        monkeypatch.setattr(fm, "mixture_mala_chain", boom)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        MetropolisAdjustedLangevin(mix, step_size=0.05, fused="force").sample(
+            key, dim=2, n_samples=4, n_steps=2, return_diagnostics=True
+        )
+        MetropolisAdjustedLangevin(
+            GaussianEnergy.standard(2), step_size=0.05, fused="force"
+        ).sample(key, dim=2, n_samples=4, n_steps=2)
+
+    def test_invalid_flag_raises(self):
+        from torchebm_tpu.core import GaussianMixtureEnergy
+
+        with pytest.raises(ValueError, match="fused"):
+            MetropolisAdjustedLangevin(
+                GaussianMixtureEnergy.eight_gaussians(), fused="maybe"
+            )

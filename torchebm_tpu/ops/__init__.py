@@ -2,12 +2,13 @@
 
 The whole-chain kernels are auto-dispatched by the samplers on eager TPU
 calls with supported analytic energies (``LangevinDynamics(fused="auto")``,
-``HamiltonianMonteCarlo(fused="auto")``); everything is also importable
+``HamiltonianMonteCarlo(fused="auto")``, ``MetropolisAdjustedLangevin(fused="auto")``); everything is also importable
 directly for hand-wired use, mirroring the reference's explicit-import stance
 (``cuda/__init__.py:8``).
 """
 
 from .fused_hmc import mixture_hmc_chain
+from .fused_mala import mixture_mala_chain
 from .fused_langevin import (
     doublewell_langevin_chain,
     fused_langevin_step,
@@ -19,4 +20,5 @@ __all__ = [
     "doublewell_langevin_chain",
     "mixture_langevin_chain",
     "mixture_hmc_chain",
+    "mixture_mala_chain",
 ]
