@@ -197,7 +197,10 @@ def mixture_hmc_chain(
     if mass is not None:
         mass = jnp.broadcast_to(jnp.asarray(mass, jnp.float32), (dim,))
     packed = pack_mixture_params(means, log_weights, mass=mass)
-    block = _mixture_block(lanes, dim, block_chains)
+    # injected-randomness CI path stages (n_draws, 8d+8, block) in VMEM too
+    block = _mixture_block(
+        lanes, dim, block_chains, n_staged=0 if noise is None else int(n_draws) + 1
+    )
 
     kw = dict(
         n_draws=int(n_draws),

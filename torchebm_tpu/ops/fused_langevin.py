@@ -290,6 +290,10 @@ def doublewell_langevin_chain(
     rows = _round_up(max(1, (n + _LANE - 1) // _LANE), 8)
     padded = rows * _LANE
     flat = jnp.pad(flat, (0, padded - n)).reshape(rows, _LANE)
+    if noise is not None:
+        # the (n_steps, block_rows, 128) noise stage must fit VMEM too
+        budget_rows = max((4 << 20) // (_LANE * 4 * (6 + int(n_steps))), 8)
+        block_rows = min(block_rows, budget_rows)
     block_rows = min(block_rows, rows)
     # grid blocks must tile the rows evenly
     while rows % block_rows:
@@ -438,10 +442,18 @@ def tiles_to_chains(t: Array, n_chains: int, d: int) -> Array:
     )[:n_chains]
 
 
-def _mixture_block(lanes: int, d: int, block_chains: int) -> int:
-    """Grid block width (lanes) fitting the (8d, block) state in VMEM."""
-    # ~6 live copies of the (8d, block) f32 state; stay well under ~16 MB VMEM
-    budget = (4 << 20) // (8 * d * 4 * 6)
+def _mixture_block(lanes: int, d: int, block_chains: int, n_staged: int = 0) -> int:
+    """Grid block width (lanes) fitting the (8d, block) state in VMEM.
+
+    ``n_staged`` is the number of per-step noise tensors additionally staged
+    as one ``(n_steps, 8d, block)`` VMEM block (the injected-noise CI path);
+    0 for the in-kernel-PRNG kernels. The budget accounts for it so large
+    ``n_steps × chains`` parity runs shrink the block instead of blowing the
+    ~16 MB VMEM limit at compile time.
+    """
+    # ~6 live copies of the (8d, block) f32 state + the staged noise block;
+    # stay well under ~16 MB VMEM
+    budget = (4 << 20) // (8 * d * 4 * (6 + n_staged))
     block = min(max(min(block_chains // 8, budget), _LANE), lanes)
     while lanes % block:
         block //= 2
@@ -487,7 +499,9 @@ def mixture_langevin_chain(
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
     packed = pack_mixture_params(means, log_weights)
-    block = _mixture_block(lanes, dim, block_chains)
+    block = _mixture_block(
+        lanes, dim, block_chains, n_staged=0 if noise is None else int(n_steps)
+    )
 
     kw = dict(
         n_steps=int(n_steps),

@@ -161,7 +161,10 @@ def mixture_mala_chain(
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
     packed = pack_mixture_params(means, log_weights)
-    block = _mixture_block(lanes, dim, block_chains)
+    # injected-randomness CI path stages (n_steps, 8d+8, block) in VMEM too
+    block = _mixture_block(
+        lanes, dim, block_chains, n_staged=0 if noise is None else int(n_steps) + 1
+    )
 
     kw = dict(
         n_steps=int(n_steps),

@@ -176,10 +176,16 @@ def init_distributed(
     }
     explicit.update(kwargs)
 
-    if explicit:
-        jax.distributed.initialize(**explicit)
-    elif any(env.get(v) for v in _AUTODETECT_ENV):
-        jax.distributed.initialize()
+    try:
+        if explicit:
+            jax.distributed.initialize(**explicit)
+        elif any(env.get(v) for v in _AUTODETECT_ENV):
+            jax.distributed.initialize()
+    except RuntimeError:
+        # Already initialized but _distributed_client_active() couldn't see it
+        # (the private-API probe returned False after an upstream move):
+        # degrade to reporting the live (rank, world) instead of crashing.
+        pass
     return jax.process_index(), jax.process_count()
 
 

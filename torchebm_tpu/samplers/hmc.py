@@ -182,8 +182,9 @@ class HamiltonianMonteCarlo(BaseSampler):
         (:func:`torchebm_tpu.ops.fused_hmc.mixture_hmc_chain`).
 
         Same conservative stance as :class:`LangevinDynamics`: eager
-        single-program TPU calls only, default leapfrog, unit mass, constant
-        step size, no trajectory/diagnostics/conditioning, d-dim isotropic
+        single-program TPU calls only, default leapfrog, unit or concrete
+        scalar/diagonal mass, constant step size, no
+        trajectory/diagnostics/conditioning, d-dim isotropic
         :class:`GaussianMixtureEnergy` with K·d ≤ 1024. ``fused="off"``
         disables; ``"force"`` skips the TPU-backend check (kernel-stub tests).
         """
@@ -211,7 +212,11 @@ class HamiltonianMonteCarlo(BaseSampler):
         if isinstance(self.model.means, jax.core.Tracer):
             return False
         k, d = self.model.means.shape
-        if jnp.ndim(self.mass) == 1 and jnp.shape(self.mass)[0] != d:
+        if (
+            self.mass is not None
+            and jnp.ndim(self.mass) == 1
+            and jnp.shape(self.mass)[0] != d
+        ):
             return False
         return d <= 64 and k * d <= 1024
 
