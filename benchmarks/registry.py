@@ -144,14 +144,51 @@ def _sampler_specs() -> Iterator[BenchSpec]:
         k = _key()
         return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
 
+    def mala(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import MetropolisAdjustedLangevin
+
+        s = MetropolisAdjustedLangevin(GaussianEnergy.standard(scale.dim), step_size=0.05)
+        k = _key()
+        return lambda: s.sample(k, dim=scale.dim, n_samples=scale.batch, n_steps=scale.steps)
+
+    def nuts(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import NoUTurnSampler
+
+        s = NoUTurnSampler(
+            GaussianEnergy.standard(scale.dim), step_size=0.5, max_tree_depth=6
+        )
+        k = _key()
+        # a NUTS draw costs up to 2^depth-1 leapfrog steps; scale down draws
+        return lambda: s.sample(
+            k, dim=scale.dim, n_samples=scale.batch, n_steps=max(scale.steps // 10, 1)
+        )
+
+    def ais(scale: Scale):
+        from torchebm_tpu.core import GaussianEnergy
+        from torchebm_tpu.samplers import annealed_importance_sampling
+
+        target = GaussianEnergy.create(
+            mean=jnp.ones(scale.dim), cov=0.5 * jnp.eye(scale.dim)
+        )
+        k = _key()
+        return lambda: annealed_importance_sampling(
+            k, target, dim=scale.dim, n_samples=scale.batch,
+            n_rungs=max(scale.steps, 10), step_size=0.1,
+        ).log_z
+
     builders = {
         "LangevinDynamics": langevin,
+        "MetropolisAdjustedLangevin": mala,
         "HamiltonianMonteCarlo": hmc,
+        "NoUTurnSampler": nuts,
         "RiemannianManifoldHMC": rmhmc,
         "GradientDescentSampler": gd,
         "NesterovSampler": nesterov,
         "ParallelTemperingLangevin": pt_langevin,
         "FlowSampler": flow_ode,
+        "annealed_importance_sampling": ais,
     }
     for name, build in builders.items():
         yield BenchSpec(name=f"samplers.{name}", group="samplers", build=build)

@@ -193,24 +193,53 @@ def auction_assignment(
 
 
 def greedy_assignment(cost: Array) -> Array:
-    """Nearest-free-pair greedy assignment: n rounds of masked global argmin."""
+    """Nearest-free-pair greedy assignment (reference ``ot.py:182-217``).
+
+    The reference sorts all n² pairs once and scans them host-side; the
+    previous TPU form ran n sequential rounds of a full (n, n) argmin —
+    O(n³) work. This version assigns, each round, every *locally dominant*
+    free pair (cheapest in both its row and its column): the cheapest
+    remaining pair is always locally dominant, and a locally dominant pair is
+    untouchable by any earlier greedy pick, so simultaneous assignment
+    reproduces the sequential nearest-free-pair result exactly for distinct
+    costs (ties may resolve differently). Expected O(log n) rounds of
+    vectorized O(n²) work on random costs, n rounds worst case.
+    """
     n = cost.shape[0]
     if n == 1:
         return jnp.zeros((1,), jnp.int32)
     INF = jnp.float32(jnp.inf)
+    iota = jnp.arange(n)
 
-    def body(_, state):
-        c, perm = state
-        flat_idx = jnp.argmin(c.reshape(-1))
-        i, j = flat_idx // n, flat_idx % n
-        perm = perm.at[i].set(j.astype(jnp.int32))
-        c = c.at[i, :].set(INF).at[:, j].set(INF)
-        return c, perm
+    def cond(state):
+        _, perm, rounds = state
+        return jnp.logical_and(jnp.any(perm < 0), rounds < n)
 
-    _, perm = jax.lax.fori_loop(
-        0, n, body, (cost.astype(jnp.float32), jnp.zeros((n,), jnp.int32))
+    def body(state):
+        c, perm, rounds = state
+        rmin = jnp.argmin(c, axis=1)  # cheapest free col per row
+        cmin = jnp.argmin(c, axis=0)  # cheapest free row per col
+        dominant = (perm < 0) & (cmin[rmin] == iota) & jnp.isfinite(c[iota, rmin])
+        perm = jnp.where(dominant, rmin.astype(jnp.int32), perm)
+        col_taken = (
+            jnp.zeros((n,), bool).at[jnp.where(dominant, rmin, n)].set(True, mode="drop")
+        )
+        c = jnp.where(dominant[:, None] | col_taken[None, :], INF, c)
+        return c, perm, rounds + 1
+
+    _, perm, _ = jax.lax.while_loop(
+        cond, body, (cost.astype(jnp.float32), jnp.full((n,), -1, jnp.int32), jnp.int32(0))
     )
-    return perm
+
+    # Safety-valve completion (non-finite costs): rank-pair leftovers.
+    row_free = perm < 0
+    col_free = ~(
+        jnp.zeros((n,), bool).at[jnp.where(row_free, n, perm)].set(True, mode="drop")
+    )
+    row_rank = jnp.cumsum(row_free.astype(jnp.int32)) - 1
+    col_order = jnp.argsort(jnp.where(col_free, iota, n + iota))
+    fallback = col_order[jnp.clip(row_rank, 0, n - 1)]
+    return jnp.where(row_free, fallback, perm).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------- couplings

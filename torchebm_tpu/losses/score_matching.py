@@ -10,8 +10,9 @@ in ``torchebm/core/base_loss.py:640-775``. JAX translation notes:
   combinators, ``score_matching.py:180-193``); the reference's DTensor
   restriction does not exist — sharded params differentiate transparently, so
   the whole FSDP2 functional path (``base_loss.py:439-622``) has no analogue.
-- Sliced SM computes the Hessian-vector term with a second ``jax.grad`` pass,
-  matching the reference's two ``create_graph`` autograd passes
+- Sliced SM computes score and Hessian-vector term together with one
+  ``jax.jvp``-of-``jax.grad`` (forward-over-reverse) pass — equivalent to but
+  cheaper than the reference's two ``create_graph`` autograd passes
   (``score_matching.py:540-559``).
 """
 
@@ -204,12 +205,14 @@ class SlicedScoreMatching(BaseScoreMatching):
         def logp_sum(xx):
             return jnp.sum(-model.energy(xx.reshape(-1, *x.shape[1:])))
 
-        grad1 = jax.grad(logp_sum)(dup_x)  # score, (P*B, d)
+        # One forward-over-reverse pass yields the score AND the
+        # Hessian-vector product Hv (H symmetric, so jvp of the score along v
+        # equals the reference's second create_graph backward,
+        # ``score_matching.py:540-559``) — 2 differentiation passes, not 3.
+        grad1, hvp = jax.jvp(jax.grad(logp_sum), (dup_x,), (v,))
         v_score = jnp.sum(grad1 * v, axis=-1)
         term1 = 0.5 * jnp.square(v_score)
-
-        grad_v = jax.grad(lambda xx: jnp.sum(jnp.sum(jax.grad(logp_sum)(xx) * v, axis=-1)))(dup_x)
-        term2 = jnp.sum(v * grad_v, axis=-1)
+        term2 = jnp.sum(v * hvp, axis=-1)
 
         term1 = jnp.mean(term1.reshape(self.n_projections, -1), axis=0)
         term2 = jnp.mean(term2.reshape(self.n_projections, -1), axis=0)
