@@ -369,12 +369,17 @@ def bench_dit_step(iters: int) -> dict:
 
         return run, mfu
 
-    run32, mfu32 = make_run(jnp.float32)
-    run16, mfu16 = make_run(jnp.bfloat16)
-    per32 = _slope_time(run32, 2, 12, iters)
-    per16 = _slope_time(run16, 2, 12, iters)
-    f32 = mfu32(per32, "f32")
-    bf16 = mfu16(per16, "bf16")
+    def measure(dtype, peak):
+        # build → time → cost-profile → release before the next dtype: two
+        # DiT-768x12 train states + compiled programs don't fit HBM together
+        run, mfu = make_run(dtype)
+        per = _slope_time(run, 2, 12, iters)
+        fields = mfu(per, peak)
+        jax.clear_caches()
+        return per, fields
+
+    per32, f32 = measure(jnp.float32, "f32")
+    per16, bf16 = measure(jnp.bfloat16, "bf16")
     return {
         "f32_steps_per_s": 1.0 / per32,
         "bf16_steps_per_s": 1.0 / per16,
@@ -486,6 +491,7 @@ def main() -> int:
         res["total_bench_s"] = time.perf_counter() - t0
         report["results"][name] = res
         print(f"{name:24s} {json.dumps(res)}")
+        jax.clear_caches()  # free each bench's compiled programs / HBM
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
