@@ -5,9 +5,18 @@ everything is generated from the *installed package* — registries, ``__all__``
 exports, class hierarchies — so docs never drift from code. Without mkdocs in
 the environment, running this module writes standalone markdown into
 ``docs/generated/`` (the hook entry points remain importable for an mkdocs
-build).
+build) AND rewrites marker blocks inside the committed pages under ``docs/``
+— the reference's in-page injection pattern (its ``MARKER`` regexes,
+reference ``docs/hooks/gen_diagrams.py:1-18``):
 
-Outputs:
+    <!-- GEN:components -->
+    ...replaced with generated content on every run...
+    <!-- /GEN:components -->
+
+Marker names: ``components``, ``composition``, ``class_trees``, ``gallery``
+(the last delegates to ``gen_examples.py``).
+
+Standalone outputs (``docs/generated/``):
 
 - ``components.md`` — per-registry tables (integrators, interpolants,
   couplings, datasets) + exported-symbol inventory per subpackage
@@ -19,11 +28,17 @@ from __future__ import annotations
 
 import inspect
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # sibling hooks
 
-OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "generated")
+DOCS_DIR = os.path.join(os.path.dirname(__file__), "..")
+OUT_DIR = os.path.join(DOCS_DIR, "generated")
+
+#: in-page injection block: <!-- GEN:name --> ... <!-- /GEN:name -->
+MARKER = re.compile(r"(<!-- GEN:([a-z_]+) -->)(.*?)(<!-- /GEN:\2 -->)", re.S)
 
 
 def _first_line(obj) -> str:
@@ -142,6 +157,58 @@ def _import_everything():
     import torchebm_tpu.samplers.flow  # noqa: F401
 
 
+def _generators():
+    """Marker name → content fn for in-page injection."""
+    import gen_examples
+
+    return {
+        "components": gen_components,
+        "composition": gen_composition,
+        "class_trees": gen_class_trees,
+        # gallery links resolve relative to docs/, where injected pages live
+        "gallery": lambda: gen_examples.gen_gallery(link_prefix="generated/examples/"),
+    }
+
+
+def _strip_h1(md: str) -> str:
+    """Drop a leading H1 so injected content nests inside the host page."""
+    lines = md.split("\n")
+    if lines and lines[0].startswith("# "):
+        lines = lines[1:]
+    return "\n".join(lines).strip("\n")
+
+
+def inject_pages(docs_dir: str = DOCS_DIR) -> list:
+    """Rewrite every ``<!-- GEN:name -->`` block in the committed doc pages.
+
+    Returns the list of files that changed. Unknown marker names raise — a
+    typo'd marker silently left stale is exactly the drift this prevents.
+    """
+    gens = _generators()
+    changed = []
+    for fname in sorted(os.listdir(docs_dir)):
+        path = os.path.join(docs_dir, fname)
+        if not fname.endswith(".md") or not os.path.isfile(path):
+            continue
+        text = open(path).read()
+
+        def repl(m):
+            name = m.group(2)
+            if name not in gens:
+                raise KeyError(
+                    f"{fname}: unknown GEN marker {name!r} "
+                    f"(known: {sorted(gens)})"
+                )
+            return f"{m.group(1)}\n\n{_strip_h1(gens[name]())}\n\n{m.group(4)}"
+
+        new = MARKER.sub(repl, text)
+        if new != text:
+            with open(path, "w") as f:
+                f.write(new)
+            changed.append(fname)
+    return changed
+
+
 def main() -> None:
     _import_everything()
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -154,6 +221,8 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(fn())
         print(f"wrote {path}")
+    for fname in inject_pages():
+        print(f"injected {fname}")
 
 
 # mkdocs hook entry point (when mkdocs is available)

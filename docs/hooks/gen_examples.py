@@ -27,12 +27,15 @@ def discover():
     return sorted(cases, key=lambda c: int(c[2].get("order", 999)))
 
 
-def gen_gallery() -> str:
+def gen_gallery(link_prefix: str = "examples/") -> str:
+    """Gallery table; ``link_prefix`` locates the per-example pages relative
+    to the page hosting the table (in-page injection uses
+    ``generated/examples/``)."""
     md = ["# Examples", "", "| example | difficulty | tags | summary |", "|---|---|---|---|"]
     for name, root, meta in discover():
         tags = ", ".join(meta.get("tags", []))
         md.append(
-            f"| [{meta['title']}](examples/{name.replace(os.sep, '_')}.md) "
+            f"| [{meta['title']}]({link_prefix}{name.replace(os.sep, '_')}.md) "
             f"| {meta.get('difficulty', '-')} | {tags} | {meta['summary']} |"
         )
     md.append("")

@@ -80,6 +80,77 @@ def test_doublewell_chain_noise_parity(key, clamp):
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+@pytest.mark.parametrize("clamp", [None, (-1.5, 1.5)])
+def test_doublewell_chain_scheduled_noise_parity(key, clamp):
+    """Round-3: per-step (n_steps,) step/noise schedules ride the SMEM-table
+    kernels — parity vs a plain-jnp loop with the same per-step values."""
+    n_steps, shape = 13, (29, 2)
+    bh, b = 2.0, 1.0
+    hs = jnp.linspace(0.02, 0.005, n_steps)
+    nss = jnp.linspace(0.0, 1.0, n_steps)  # annealed-in noise (EM profile shape)
+    x0 = jax.random.normal(key, shape)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, *shape))
+
+    out = doublewell_langevin_chain(
+        x0, n_steps, hs, nss, barrier_height=bh, b=b, clamp=clamp,
+        noise=noise, interpret=INTERPRET,
+    )
+
+    x = x0
+    for t in range(n_steps):
+        grad = 4.0 * bh * x * (x * x - b * b)
+        coef = nss[t] * jnp.sqrt(2.0 * hs[t])
+        x = _clip(x - hs[t] * grad + coef * noise[t], clamp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_doublewell_scheduled_constant_table_matches_constant_kernel(key):
+    """A constant-valued schedule table must reproduce the baked-constant
+    kernel bit-for-bit under the same injected noise."""
+    n_steps, shape = 9, (24, 2)
+    h, ns = 0.01, 0.8
+    x0 = jax.random.normal(key, shape)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, *shape))
+    const = doublewell_langevin_chain(
+        x0, n_steps, h, ns, noise=noise, interpret=INTERPRET
+    )
+    sched = doublewell_langevin_chain(
+        x0, n_steps, jnp.full((n_steps,), h), jnp.full((n_steps,), ns),
+        noise=noise, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(sched), np.asarray(const), atol=1e-6)
+
+
+def test_doublewell_scheduled_chunking_parity(key, monkeypatch):
+    """Chains longer than _SCHED_CHUNK split into several launches; the state
+    hand-off across chunk boundaries must be exact."""
+    import torchebm_tpu.ops.fused_langevin as fl
+
+    monkeypatch.setattr(fl, "_SCHED_CHUNK", 4)
+    n_steps, shape = 11, (16, 2)  # 3 launches: 4 + 4 + 3
+    hs = jnp.linspace(0.02, 0.005, n_steps)
+    x0 = jax.random.normal(key, shape)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, *shape))
+
+    out = doublewell_langevin_chain(
+        x0, n_steps, hs, 0.7, noise=noise, interpret=INTERPRET
+    )
+
+    x = x0
+    for t in range(n_steps):
+        grad = 4.0 * 2.0 * x * (x * x - 1.0)
+        x = x - hs[t] * grad + 0.7 * jnp.sqrt(2.0 * hs[t]) * noise[t]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_schedule_shape_guard(key):
+    x0 = jax.random.normal(key, (8, 2))
+    with pytest.raises(ValueError, match="per-step schedule"):
+        doublewell_langevin_chain(
+            x0, 5, jnp.ones((3,)), 1.0, interpret=INTERPRET
+        )
+
+
 def test_doublewell_chain_noise_shape_guard(key):
     x0 = jax.random.normal(key, (8, 2))
     with pytest.raises(ValueError, match="noise must have shape"):
@@ -125,6 +196,125 @@ def test_mixture_chain_default_weights_parity(key):
         noise=noise, interpret=INTERPRET,
     )
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+@pytest.mark.parametrize("d,k,clamp", [(2, 8, None), (3, 3, (-6.0, 6.0))])
+def test_mixture_chain_scheduled_noise_parity(key, d, k, clamp):
+    """Round-3: scheduled step/noise on the mixture chain kernel (the
+    annealed Energy-Matching workload shape)."""
+    n, n_steps = 47, 10
+    scale = 0.7
+    hs = jnp.linspace(0.08, 0.02, n_steps)
+    nss = jnp.linspace(0.2, 1.0, n_steps)
+    means = 3.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+
+    out = mixture_langevin_chain(
+        x0, means, n_steps, hs, nss, scale=scale, log_weights=logw,
+        clamp=clamp, noise=noise, interpret=INTERPRET,
+    )
+
+    inv_var = 1.0 / scale**2
+    x = x0
+    for t in range(n_steps):
+        grad, _ = _mix_grad_logp(x, means, logw, inv_var)
+        coef = nss[t] * jnp.sqrt(2.0 * hs[t])
+        x = _clip(x - hs[t] * grad + coef * noise[t], clamp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_mixture_scheduled_chunking_parity(key, monkeypatch):
+    import torchebm_tpu.ops.fused_langevin as fl
+
+    monkeypatch.setattr(fl, "_SCHED_CHUNK", 3)
+    n, d, k, n_steps = 21, 2, 4, 8  # 3 launches: 3 + 3 + 2
+    hs = jnp.linspace(0.08, 0.02, n_steps)
+    means = 2.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+
+    out = mixture_langevin_chain(
+        x0, means, n_steps, hs, 0.9, noise=noise, interpret=INTERPRET
+    )
+
+    logw = jnp.full((k,), -math.log(k))
+    x = x0
+    for t in range(n_steps):
+        grad, _ = _mix_grad_logp(x, means, logw, 1.0)
+        x = x - hs[t] * grad + 0.9 * jnp.sqrt(2.0 * hs[t]) * noise[t]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("thin", [1, 3])
+def test_doublewell_trajectory_noise_parity(key, thin):
+    """Round-3 stretch: every thin-th state is DMA'd to the HBM trajectory;
+    kept slots and the final state must match the plain-jnp loop exactly."""
+    from torchebm_tpu.ops import doublewell_langevin_chain_trajectory
+
+    n_steps, shape = 11, (21, 2)  # thin=3 -> 3 kept + 2 remainder steps
+    h, ns, bh, b = 0.01, 0.8, 2.0, 1.0
+    x0 = jax.random.normal(key, shape)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, *shape))
+
+    traj, final = doublewell_langevin_chain_trajectory(
+        x0, n_steps, h, ns, thin=thin, barrier_height=bh, b=b,
+        noise=noise, interpret=INTERPRET,
+    )
+
+    coef = ns * math.sqrt(2 * h)
+    x, kept = x0, []
+    for t in range(n_steps):
+        grad = 4.0 * bh * x * (x * x - b * b)
+        x = x - h * grad + coef * noise[t]
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (n_steps // thin, *shape)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("d,k,thin", [(2, 8, 1), (3, 3, 4)])
+def test_mixture_trajectory_noise_parity(key, d, k, thin):
+    from torchebm_tpu.ops import mixture_langevin_chain_trajectory
+
+    n, n_steps = 37, 9
+    h, ns, scale = 0.05, 0.9, 0.7
+    means = 3.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+
+    traj, final = mixture_langevin_chain_trajectory(
+        x0, means, n_steps, h, ns, thin=thin, scale=scale, log_weights=logw,
+        noise=noise, interpret=INTERPRET,
+    )
+
+    coef = ns * math.sqrt(2 * h)
+    inv_var = 1.0 / scale**2
+    x, kept = x0, []
+    for t in range(n_steps):
+        grad, _ = _mix_grad_logp(x, means, logw, inv_var)
+        x = x - h * grad + coef * noise[t]
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (n_steps // thin, n, d)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=1e-5)
+
+
+def test_trajectory_thin_guard(key):
+    from torchebm_tpu.ops import doublewell_langevin_chain_trajectory
+
+    with pytest.raises(ValueError, match="thin"):
+        doublewell_langevin_chain_trajectory(
+            jnp.zeros((8, 2)), 5, 0.01, thin=0, interpret=INTERPRET
+        )
+    with pytest.raises(ValueError, match="n_steps // thin"):
+        doublewell_langevin_chain_trajectory(
+            jnp.zeros((8, 2)), 3, 0.01, thin=5, interpret=INTERPRET
+        )
 
 
 def test_mixture_chain_size_guard(key):

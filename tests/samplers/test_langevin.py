@@ -192,22 +192,53 @@ class TestFusedDispatch:
         out = sampler.sample(key, dim=2, n_samples=16, n_steps=10)
         assert out.shape == (16, 2)
 
-    @pytest.mark.parametrize(
-        "kwargs",
-        [
-            dict(return_trajectory=True),
-            dict(return_diagnostics=True),
-        ],
-    )
-    def test_unsupported_features_fall_back(self, key, monkeypatch, kwargs):
+    def test_diagnostics_fall_back(self, key, monkeypatch):
         import torchebm_tpu.ops.fused_langevin as fl
 
         def boom(*a, **k):  # pragma: no cover
-            raise AssertionError("fused kernel must not handle trajectory/diag calls")
+            raise AssertionError("fused kernel must not handle diagnostics calls")
 
         monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
+        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", boom)
         sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01, fused="force")
-        sampler.sample(key, dim=2, n_samples=8, n_steps=5, **kwargs)
+        sampler.sample(key, dim=2, n_samples=8, n_steps=5, return_diagnostics=True)
+
+    def test_trajectory_routes_to_trajectory_kernel(self, key, monkeypatch):
+        """Round-3 stretch: return_trajectory rides the DMA trajectory kernel
+        for constant schedules (parity pinned in tests/ops/test_chain_parity.py)."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        calls = []
+
+        def stub(x0, n_steps, step_size, noise_scale, *, thin, **kw):
+            calls.append((x0.shape, n_steps, thin))
+            n_kept = n_steps // thin
+            return jnp.zeros((n_kept, *x0.shape)), x0
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", stub)
+        sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01, fused="force")
+        out = sampler.sample(
+            key, dim=4, n_samples=16, n_steps=9, thin=3, return_trajectory=True
+        )
+        assert calls == [((16, 4), 9, 3)]
+        assert out.shape == (16, 3, 4)
+
+    def test_scheduled_trajectory_falls_back(self, key, monkeypatch):
+        """Scheduled step/noise + trajectory uses the scan path (the traj
+        kernels are constant-schedule only)."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("scheduled trajectory must use the scan path")
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", boom)
+        monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
+        sampler = LangevinDynamics(
+            DoubleWellEnergy(), step_size=CosineScheduler(0.02, 0.005, 10),
+            fused="force",
+        )
+        out = sampler.sample(key, dim=2, n_samples=8, n_steps=10, return_trajectory=True)
+        assert out.shape == (8, 10, 2)
 
     def test_traced_calls_fall_back(self, key, monkeypatch):
         """Inside user jit the generic scan path is used (shards/traces fine)."""
@@ -247,6 +278,57 @@ class TestFusedDispatch:
         )
         sampler.sample(key, dim=2, n_samples=8, n_steps=5)
         assert seen == [(-0.5, 0.5)]
+
+    def test_scheduled_params_dispatch_with_tables(self, key, monkeypatch):
+        """Round-3 widening: scheduler step/noise no longer blocks dispatch —
+        the concrete (n_steps,) value tables are forwarded to the scheduled
+        chain kernels (in-kernel parity is pinned by tests/ops/test_chain_parity.py)."""
+        import torchebm_tpu.ops.fused_langevin as fl
+        from torchebm_tpu.core import TemperatureScheduler
+
+        seen = []
+
+        def stub(x0, means, n_steps, step_size, noise_scale, **kw):
+            seen.append((step_size, noise_scale))
+            return x0
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", stub)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        temp = TemperatureScheduler(epsilon_max=0.25, tau_star=0.5, n_steps=12)
+        sampler = LangevinDynamics(
+            mix, step_size=CosineScheduler(0.05, 0.01, 12), noise_scale=temp,
+            fused="force",
+        )
+        out = sampler.sample(key, dim=2, n_samples=16, n_steps=12)
+        assert out.shape == (16, 2)
+        (ss, ns), = seen
+        np.testing.assert_allclose(
+            ss, jax.vmap(CosineScheduler(0.05, 0.01, 12).value)(jnp.arange(12)),
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            ns, jax.vmap(temp.value)(jnp.arange(12)), rtol=1e-6
+        )
+
+    @pytest.mark.skipif(
+        jax.default_backend() != "tpu",
+        reason="in-kernel PRNG requires TPU hardware",
+    )
+    def test_scheduled_fused_end_to_end(self, key):
+        """The scheduled kernel's annealed chain on the mixture energy ends up
+        finite and near the modes (exact parity is pinned by the injected-noise
+        tests in tests/ops/test_chain_parity.py)."""
+        mix = GaussianMixtureEnergy.eight_gaussians(radius=4.0, scale=0.4)
+        sampler = LangevinDynamics(
+            mix, step_size=0.05, noise_scale=CosineScheduler(1.0, 0.2, 30),
+            fused="force",
+        )
+        x0 = mix.sample(key, 256)
+        out = sampler.sample(jax.random.fold_in(key, 1), x=x0, n_steps=30)
+        assert out.shape == (256, 2)
+        assert bool(jnp.all(jnp.isfinite(out)))
+        r = jnp.linalg.norm(out, axis=-1)
+        assert abs(float(jnp.mean(r)) - 4.0) < 0.5
 
     def test_scan_path_still_clamped(self, key):
         sampler = LangevinDynamics(

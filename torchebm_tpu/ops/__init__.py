@@ -11,14 +11,18 @@ from .fused_hmc import mixture_hmc_chain
 from .fused_mala import mixture_mala_chain
 from .fused_langevin import (
     doublewell_langevin_chain,
+    doublewell_langevin_chain_trajectory,
     fused_langevin_step,
     mixture_langevin_chain,
+    mixture_langevin_chain_trajectory,
 )
 
 __all__ = [
     "fused_langevin_step",
     "doublewell_langevin_chain",
+    "doublewell_langevin_chain_trajectory",
     "mixture_langevin_chain",
+    "mixture_langevin_chain_trajectory",
     "mixture_hmc_chain",
     "mixture_mala_chain",
 ]

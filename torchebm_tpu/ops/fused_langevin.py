@@ -22,6 +22,21 @@ in-kernel PRNG: the exact-parity CI path, tested step-for-step against plain
 jnp loops in interpret mode on CPU (``tests/ops/test_chain_parity.py``) —
 the reference's correctness pattern (``cuda/fused_langevin.py:90-138``).
 
+``step_size``/``noise_scale`` may each be a float (constant schedule — the
+value is baked into the trace) or a ``(n_steps,)`` array (annealed schedule —
+e.g. ``TemperatureScheduler`` for the Energy-Matching workload). Scheduled
+chains stage a per-step ``[η_t, noise_scale_t·√(2η_t)]`` table in SMEM and
+index it from the scalar unit each step; chains longer than
+:data:`_SCHED_CHUNK` steps are split into several kernel launches (the state
+tile round-trips HBM once per chunk — ~30 µs per launch, negligible against
+thousands of in-VMEM steps).
+
+The ``*_trajectory`` variants additionally record every ``thin``-th state:
+the kept tile is staged to a VMEM scratch and async-DMA'd to an HBM-resident
+``(n_kept, …)`` output while the chain itself stays in VMEM — so
+``return_trajectory=True`` (the R̂/ESS diagnostics workload) keeps the
+whole-chain kernel's advantage over the scan path instead of falling back.
+
 Layout notes (see the TPU tiling constraints): the huge chain axis is spread
 over BOTH the 8-sublane and 128-lane dimensions — the elementwise chain
 kernel uses flat ``(rows, 128)`` blocks, the mixture kernels ``(8·d,
@@ -46,7 +61,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -58,11 +73,16 @@ Array = jax.Array
 __all__ = [
     "fused_langevin_step",
     "doublewell_langevin_chain",
+    "doublewell_langevin_chain_trajectory",
     "mixture_langevin_chain",
+    "mixture_langevin_chain_trajectory",
 ]
 
 _LANE = 128
 _TWO_PI = 2.0 * math.pi
+#: max steps per scheduled-chain launch: the (2, chunk) f32 schedule table
+#: lives in SMEM (32 KB at 4096), and longer chains chunk into extra launches.
+_SCHED_CHUNK = 4096
 
 
 def _normal_pair_from_bits(shape) -> Tuple[Array, Array]:
@@ -139,6 +159,30 @@ def _normal_tiles(shape, d):
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _schedule_table(step_size, noise_scale, n_steps: int) -> Optional[Array]:
+    """``None`` when both parameters are Python scalars (constant chain — the
+    values are baked into the trace); else the ``(2, n_steps)`` f32 per-step
+    table ``[η_t, noise_scale_t·√(2η_t)]`` staged into SMEM by the scheduled
+    kernels. Scalars broadcast against an array-valued partner."""
+    if isinstance(step_size, (int, float)) and isinstance(noise_scale, (int, float)):
+        return None
+    for name, p in (("step_size", step_size), ("noise_scale", noise_scale)):
+        if not isinstance(p, (int, float)) and jnp.shape(p) not in ((), (int(n_steps),)):
+            raise ValueError(
+                f"{name} must be a scalar or a ({n_steps},) per-step schedule, "
+                f"got shape {jnp.shape(p)}"
+            )
+    h = jnp.broadcast_to(jnp.asarray(step_size, jnp.float32), (int(n_steps),))
+    ns = jnp.broadcast_to(jnp.asarray(noise_scale, jnp.float32), (int(n_steps),))
+    return jnp.stack([h, ns * jnp.sqrt(2.0 * h)])
+
+
+def _sched_chunks(n_steps: int):
+    """[start, end) step ranges of at most :data:`_SCHED_CHUNK` steps each."""
+    chunk = _SCHED_CHUNK
+    return [(s, min(s + chunk, int(n_steps))) for s in range(0, int(n_steps), chunk)]
 
 
 # ---------------------------------------------------------------------------
@@ -261,11 +305,40 @@ def _doublewell_chain_noise_kernel(x_ref, noise_ref, out_ref, *, n_steps,
     out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
 
 
+def _doublewell_chain_sched_kernel(seed_ref, sched_ref, x_ref, out_ref, *,
+                                   n_steps, barrier_height, b, clamp):
+    """Scheduled-chain variant: per-step ``[η_t, noise_coef_t]`` from SMEM."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = _normal_from_bits(x.shape)
+        return _clip(x - sched_ref[0, i] * grad + sched_ref[1, i] * eps, clamp)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _doublewell_chain_sched_noise_kernel(sched_ref, x_ref, noise_ref, out_ref,
+                                         *, n_steps, barrier_height, b, clamp):
+    """Scheduled + injected-noise variant (exact-parity CI path)."""
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = noise_ref[pl.ds(i, 1)][0]
+        return _clip(x - sched_ref[0, i] * grad + sched_ref[1, i] * eps, clamp)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
 def doublewell_langevin_chain(
     x0: Array,
     n_steps: int,
-    step_size: float,
-    noise_scale: float = 1.0,
+    step_size: Union[float, Array],
+    noise_scale: Union[float, Array] = 1.0,
     *,
     barrier_height: float = 2.0,
     b: float = 1.0,
@@ -283,6 +356,8 @@ def doublewell_langevin_chain(
     (shape ``(n_steps, *x0.shape)``) replaces the in-kernel PRNG for
     exact-parity testing — the reference's correctness hook (``:90-138``);
     ``clamp`` bounds the state per step like the library sampler.
+    ``step_size``/``noise_scale`` may each be a ``(n_steps,)`` per-step
+    schedule (see module docstring).
     """
     orig_shape = x0.shape
     flat = x0.reshape(-1)
@@ -290,9 +365,12 @@ def doublewell_langevin_chain(
     rows = _round_up(max(1, (n + _LANE - 1) // _LANE), 8)
     padded = rows * _LANE
     flat = jnp.pad(flat, (0, padded - n)).reshape(rows, _LANE)
+    sched = _schedule_table(step_size, noise_scale, n_steps)
     if noise is not None:
-        # the (n_steps, block_rows, 128) noise stage must fit VMEM too
-        budget_rows = max((4 << 20) // (_LANE * 4 * (6 + int(n_steps))), 8)
+        # the (staged_steps, block_rows, 128) noise stage must fit VMEM too;
+        # scheduled chains stage at most one _SCHED_CHUNK-step slice at a time
+        staged = int(n_steps) if sched is None else min(int(n_steps), _SCHED_CHUNK)
+        budget_rows = max((4 << 20) // (_LANE * 4 * (6 + staged)), 8)
         block_rows = min(block_rows, budget_rows)
     block_rows = min(block_rows, rows)
     # grid blocks must tile the rows evenly
@@ -301,24 +379,215 @@ def doublewell_langevin_chain(
     block_rows = max(block_rows, 8) if rows % 8 == 0 else rows
 
     kw = dict(
-        n_steps=int(n_steps),
-        step_size=float(step_size),
-        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
         barrier_height=float(barrier_height),
         b=float(b),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
     )
-    out_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    grid = (rows // block_rows,)
+    out_shape = jax.ShapeDtypeStruct((rows, _LANE), jnp.float32)
+    state_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if noise is not None:
+        if noise.shape != (n_steps, *orig_shape):
+            raise ValueError(
+                f"noise must have shape {(n_steps, *orig_shape)}, got {noise.shape}"
+            )
+        npad = jnp.pad(noise.reshape(n_steps, -1), ((0, 0), (0, padded - n)))
+        npad = npad.reshape(n_steps, rows, _LANE)
+
+    def noise_spec(steps):
+        return pl.BlockSpec(
+            (steps, block_rows, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    if sched is None:
+        ckw = dict(
+            n_steps=int(n_steps),
+            step_size=float(step_size),
+            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+            **kw,
+        )
+        if noise is None:
+            out = pl.pallas_call(
+                functools.partial(_doublewell_chain_kernel, **ckw),
+                out_shape=out_shape,
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), state_spec],
+                out_specs=state_spec,
+                interpret=interpret,
+            )(jnp.asarray([seed], jnp.int32), flat)
+        else:
+            out = pl.pallas_call(
+                functools.partial(_doublewell_chain_noise_kernel, **ckw),
+                out_shape=out_shape,
+                grid=grid,
+                in_specs=[state_spec, noise_spec(int(n_steps))],
+                out_specs=state_spec,
+                interpret=interpret,
+            )(flat, npad)
+    else:
+        out = flat
+        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+            ckw = dict(n_steps=s1 - s0, **kw)
+            if noise is None:
+                # per-(chunk, block) distinct seeds: chunk offset by grid size
+                out = pl.pallas_call(
+                    functools.partial(_doublewell_chain_sched_kernel, **ckw),
+                    out_shape=out_shape,
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                    ],
+                    out_specs=state_spec,
+                    interpret=interpret,
+                )(jnp.asarray([seed], jnp.int32) + c * grid[0], sched[:, s0:s1], out)
+            else:
+                out = pl.pallas_call(
+                    functools.partial(_doublewell_chain_sched_noise_kernel, **ckw),
+                    out_shape=out_shape,
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                        noise_spec(s1 - s0),
+                    ],
+                    out_specs=state_spec,
+                    interpret=interpret,
+                )(sched[:, s0:s1], out, npad[s0:s1])
+    return out.reshape(-1)[:n].reshape(orig_shape)
+
+
+def _doublewell_chain_traj_kernel(seed_ref, x_ref, out_ref, traj_ref,
+                                  scratch_ref, sem_ref, *, n_steps, thin,
+                                  step_size, noise_coef, barrier_height, b,
+                                  block_rows, clamp):
+    """Double-well chain emitting every ``thin``-th state to HBM (see
+    :func:`_mixture_chain_traj_kernel` for the staging pattern)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    row0 = pl.program_id(0) * block_rows
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = _normal_from_bits(x.shape)
+        xn = _clip(x - step_size * grad + noise_coef * eps, clamp)
+
+        @pl.when((i + 1) % thin == 0)
+        def _():
+            k = (i + 1) // thin - 1
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, pl.ds(row0, block_rows), :], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _doublewell_chain_traj_noise_kernel(x_ref, noise_ref, out_ref, traj_ref,
+                                        scratch_ref, sem_ref, *, n_steps, thin,
+                                        step_size, noise_coef, barrier_height,
+                                        b, block_rows, clamp):
+    """Injected-noise variant of :func:`_doublewell_chain_traj_kernel`."""
+    row0 = pl.program_id(0) * block_rows
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = noise_ref[pl.ds(i, 1)][0]
+        xn = _clip(x - step_size * grad + noise_coef * eps, clamp)
+
+        @pl.when((i + 1) % thin == 0)
+        def _():
+            k = (i + 1) // thin - 1
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, pl.ds(row0, block_rows), :], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def doublewell_langevin_chain_trajectory(
+    x0: Array,
+    n_steps: int,
+    step_size: float,
+    noise_scale: float = 1.0,
+    *,
+    thin: int = 1,
+    barrier_height: float = 2.0,
+    b: float = 1.0,
+    seed: int = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
+    block_rows: int = 256,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Double-well chain recording every ``thin``-th state (constant schedule).
+
+    Returns ``(traj, final)``: ``traj`` has shape ``(n_steps//thin,
+    *x0.shape)`` (kept slots match the library loop — states after steps
+    ``thin, 2·thin, …``), ``final`` is the state after all ``n_steps`` steps
+    (trailing ``n_steps % thin`` steps execute but are not recorded).
+    """
+    if thin < 1:
+        raise ValueError("thin must be >= 1")
+    n_kept = int(n_steps) // int(thin)
+    if n_kept < 1:
+        raise ValueError("n_steps // thin must be >= 1 for trajectory output")
+    orig_shape = x0.shape
+    flat = x0.reshape(-1)
+    n = flat.shape[0]
+    rows = _round_up(max(1, (n + _LANE - 1) // _LANE), 8)
+    padded = rows * _LANE
+    flat = jnp.pad(flat, (0, padded - n)).reshape(rows, _LANE)
+    if noise is not None:
+        budget_rows = max((4 << 20) // (_LANE * 4 * (7 + int(n_steps))), 8)
+        block_rows = min(block_rows, budget_rows)
+    block_rows = min(block_rows, rows)
+    while rows % block_rows:
+        block_rows //= 2
+    block_rows = max(block_rows, 8) if rows % 8 == 0 else rows
+
+    kw = dict(
+        n_steps=int(n_steps),
+        thin=int(thin),
+        step_size=float(step_size),
+        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+        barrier_height=float(barrier_height),
+        b=float(b),
+        block_rows=int(block_rows),
+        clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
+    )
+    grid = (rows // block_rows,)
+    out_shapes = (
+        jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+        jax.ShapeDtypeStruct((n_kept, rows, _LANE), jnp.float32),
+    )
+    state_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_specs = (state_spec, pl.BlockSpec(memory_space=pl.ANY))
+    scratch = [
+        pltpu.VMEM((block_rows, _LANE), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
     if noise is None:
-        out = pl.pallas_call(
-            functools.partial(_doublewell_chain_kernel, **kw),
-            out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
-            grid=(rows // block_rows,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=out_spec,
+        final, traj = pl.pallas_call(
+            functools.partial(_doublewell_chain_traj_kernel, **kw),
+            out_shape=out_shapes,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), state_spec],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), flat)
     else:
@@ -328,20 +597,22 @@ def doublewell_langevin_chain(
             )
         npad = jnp.pad(noise.reshape(n_steps, -1), ((0, 0), (0, padded - n)))
         npad = npad.reshape(n_steps, rows, _LANE)
-        out = pl.pallas_call(
-            functools.partial(_doublewell_chain_noise_kernel, **kw),
-            out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
-            grid=(rows // block_rows,),
+        final, traj = pl.pallas_call(
+            functools.partial(_doublewell_chain_traj_noise_kernel, **kw),
+            out_shape=out_shapes,
+            grid=grid,
             in_specs=[
-                pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                state_spec,
                 pl.BlockSpec(
                     (n_steps, block_rows, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=out_spec,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(flat, npad)
-    return out.reshape(-1)[:n].reshape(orig_shape)
+    traj_out = traj.reshape(n_kept, -1)[:, :n].reshape(n_kept, *orig_shape)
+    return traj_out, final.reshape(-1)[:n].reshape(orig_shape)
 
 
 # -------------------------------------------------------- mixture chain (d-dim)
@@ -396,6 +667,117 @@ def _mixture_chain_noise_kernel(x_ref, means_ref, noise_ref, out_ref, *,
             for i in range(d)
         ]
         return jnp.concatenate(new, axis=0)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_sched_kernel(seed_ref, sched_ref, x_ref, means_ref, out_ref,
+                                *, n_steps, inv_var, n_components, d, clamp):
+    """Scheduled-chain mixture variant: per-step ``[η_t, noise_coef_t]`` from SMEM."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]
+
+    def body(i, x):
+        h = sched_ref[0, i]
+        nc = sched_ref[1, i]
+        coords = _split_coords(x, d)
+        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        eps = _normal_tiles(coords[0].shape, d)
+        new = [_clip(coords[j] - h * grads[j] + nc * eps[j], clamp) for j in range(d)]
+        return jnp.concatenate(new, axis=0)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_sched_noise_kernel(sched_ref, x_ref, means_ref, noise_ref,
+                                      out_ref, *, n_steps, inv_var,
+                                      n_components, d, clamp):
+    """Scheduled + injected-noise mixture variant (exact-parity CI path)."""
+    means = means_ref[...]
+
+    def body(i, x):
+        h = sched_ref[0, i]
+        nc = sched_ref[1, i]
+        coords = _split_coords(x, d)
+        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        eps = _split_coords(noise_ref[pl.ds(i, 1)][0], d)
+        new = [_clip(coords[j] - h * grads[j] + nc * eps[j], clamp) for j in range(d)]
+        return jnp.concatenate(new, axis=0)
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_traj_kernel(seed_ref, x_ref, means_ref, out_ref, traj_ref,
+                               scratch_ref, sem_ref, *, n_steps, thin,
+                               step_size, noise_coef, inv_var, n_components,
+                               d, block, clamp):
+    """Whole-chain mixture Langevin emitting every ``thin``-th state to HBM.
+
+    ``traj_ref`` is the full ``(n_kept, 8d, lanes)`` array left in HBM
+    (``memory_space=ANY``); kept states stage through a VMEM scratch tile and
+    one async DMA per kept slot (~0.1 µs of HBM traffic per 10k-chain slot —
+    negligible next to the step math, so trajectory recording keeps the
+    whole-chain kernel's ~5x advantage over the scan path for R̂/ESS
+    workloads). The chain state itself never round-trips HBM between steps.
+    """
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]
+    col0 = pl.program_id(0) * block
+
+    def body(i, x):
+        coords = _split_coords(x, d)
+        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        eps = _normal_tiles(coords[0].shape, d)
+        new = [
+            _clip(coords[j] - step_size * grads[j] + noise_coef * eps[j], clamp)
+            for j in range(d)
+        ]
+        xn = jnp.concatenate(new, axis=0)
+
+        @pl.when((i + 1) % thin == 0)
+        def _():
+            k = (i + 1) // thin - 1
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_traj_noise_kernel(x_ref, means_ref, noise_ref, out_ref,
+                                     traj_ref, scratch_ref, sem_ref, *,
+                                     n_steps, thin, step_size, noise_coef,
+                                     inv_var, n_components, d, block, clamp):
+    """Injected-noise variant of :func:`_mixture_chain_traj_kernel` (CI parity)."""
+    means = means_ref[...]
+    col0 = pl.program_id(0) * block
+
+    def body(i, x):
+        coords = _split_coords(x, d)
+        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        eps = _split_coords(noise_ref[pl.ds(i, 1)][0], d)
+        new = [
+            _clip(coords[j] - step_size * grads[j] + noise_coef * eps[j], clamp)
+            for j in range(d)
+        ]
+        xn = jnp.concatenate(new, axis=0)
+
+        @pl.when((i + 1) % thin == 0)
+        def _():
+            k = (i + 1) // thin - 1
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
 
     out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
 
@@ -464,8 +846,8 @@ def mixture_langevin_chain(
     x0: Array,
     means: Array,
     n_steps: int,
-    step_size: float,
-    noise_scale: float = 1.0,
+    step_size: Union[float, Array],
+    noise_scale: Union[float, Array] = 1.0,
     *,
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
@@ -485,6 +867,8 @@ def mixture_langevin_chain(
     runs at full VPU utilization (see :func:`_mixture_chain_kernel`).
     ``noise`` (shape ``(n_steps, n_chains, d)``) replaces the in-kernel PRNG
     for exact-parity CI tests; ``clamp`` bounds the state per step.
+    ``step_size``/``noise_scale`` may each be a ``(n_steps,)`` per-step
+    schedule (see module docstring).
     """
     n_chains, dim = x0.shape
     k, kd = means.shape
@@ -499,35 +883,188 @@ def mixture_langevin_chain(
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
     packed = pack_mixture_params(means, log_weights)
-    block = _mixture_block(
-        lanes, dim, block_chains, n_staged=0 if noise is None else int(n_steps)
-    )
+    sched = _schedule_table(step_size, noise_scale, n_steps)
+    staged = 0
+    if noise is not None:
+        staged = int(n_steps) if sched is None else min(int(n_steps), _SCHED_CHUNK)
+    block = _mixture_block(lanes, dim, block_chains, n_staged=staged)
 
     kw = dict(
-        n_steps=int(n_steps),
-        step_size=float(step_size),
-        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
         inv_var=1.0 / float(scale) ** 2,
         n_components=int(k),
         d=int(dim),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
     )
     rows = 8 * dim
+    grid = (lanes // block,)
+    out_shape = jax.ShapeDtypeStruct((rows, lanes), jnp.float32)
     state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     means_spec = pl.BlockSpec(
         packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
     )
+    if noise is not None:
+        if noise.shape != (n_steps, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_steps, n_chains, dim)}, got {noise.shape}"
+            )
+        nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_steps)])
+
+    def noise_spec(steps):
+        return pl.BlockSpec(
+            (steps, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    if sched is None:
+        ckw = dict(
+            n_steps=int(n_steps),
+            step_size=float(step_size),
+            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+            **kw,
+        )
+        if noise is None:
+            out = pl.pallas_call(
+                functools.partial(_mixture_chain_kernel, **ckw),
+                out_shape=out_shape,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    state_spec,
+                    means_spec,
+                ],
+                out_specs=state_spec,
+                interpret=interpret,
+            )(jnp.asarray([seed], jnp.int32), xt, packed)
+        else:
+            out = pl.pallas_call(
+                functools.partial(_mixture_chain_noise_kernel, **ckw),
+                out_shape=out_shape,
+                grid=grid,
+                in_specs=[state_spec, means_spec, noise_spec(int(n_steps))],
+                out_specs=state_spec,
+                interpret=interpret,
+            )(xt, packed, nt)
+    else:
+        out = xt
+        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+            ckw = dict(n_steps=s1 - s0, **kw)
+            if noise is None:
+                # per-(chunk, block) distinct seeds: chunk offset by grid size
+                out = pl.pallas_call(
+                    functools.partial(_mixture_chain_sched_kernel, **ckw),
+                    out_shape=out_shape,
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                        means_spec,
+                    ],
+                    out_specs=state_spec,
+                    interpret=interpret,
+                )(jnp.asarray([seed], jnp.int32) + c * grid[0], sched[:, s0:s1], out, packed)
+            else:
+                out = pl.pallas_call(
+                    functools.partial(_mixture_chain_sched_noise_kernel, **ckw),
+                    out_shape=out_shape,
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                        means_spec,
+                        noise_spec(s1 - s0),
+                    ],
+                    out_specs=state_spec,
+                    interpret=interpret,
+                )(sched[:, s0:s1], out, packed, nt[s0:s1])
+    return tiles_to_chains(out, n_chains, dim)
+
+
+def mixture_langevin_chain_trajectory(
+    x0: Array,
+    means: Array,
+    n_steps: int,
+    step_size: float,
+    noise_scale: float = 1.0,
+    *,
+    thin: int = 1,
+    scale: float = 1.0,
+    log_weights: Optional[Array] = None,
+    seed: int = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
+    block_chains: int = 1 << 20,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Whole-chain mixture Langevin recording every ``thin``-th state.
+
+    Same chain as :func:`mixture_langevin_chain` (constant step/noise), but
+    every ``thin``-th state is DMA'd from VMEM to an HBM-resident trajectory
+    while the chain itself stays VMEM-resident — the fused answer to
+    ``return_trajectory=True`` (kept slots match the library loop: states
+    after steps ``thin, 2·thin, …``; trailing ``n_steps % thin`` steps still
+    execute and land in ``final``). Returns ``(traj, final)`` with ``traj``
+    of shape ``(n_steps//thin, n_chains, d)`` and ``final`` ``(n_chains, d)``.
+    """
+    n_chains, dim = x0.shape
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            "mixture_langevin_chain_trajectory unrolls K components x d dims "
+            f"in-kernel; K*d={k * dim}, d={dim} exceeds the supported size "
+            "(d<=64, K*d<=1024)"
+        )
+    if thin < 1:
+        raise ValueError("thin must be >= 1")
+    n_kept = int(n_steps) // int(thin)
+    if n_kept < 1:
+        raise ValueError("n_steps // thin must be >= 1 for trajectory output")
+
+    xt, padded = chains_to_tiles(x0)
+    lanes = padded // 8
+    packed = pack_mixture_params(means, log_weights)
+    # +1 staged copy for the DMA scratch tile
+    block = _mixture_block(
+        lanes, dim, block_chains,
+        n_staged=(0 if noise is None else int(n_steps)) + 1,
+    )
+    rows = 8 * dim
+    grid = (lanes // block,)
+    kw = dict(
+        n_steps=int(n_steps),
+        thin=int(thin),
+        step_size=float(step_size),
+        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=int(k),
+        d=int(dim),
+        block=int(block),
+        clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((n_kept, rows, lanes), jnp.float32),
+    )
+    state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = (state_spec, pl.BlockSpec(memory_space=pl.ANY))
+    scratch = [
+        pltpu.VMEM((rows, block), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
     if noise is None:
-        out = pl.pallas_call(
-            functools.partial(_mixture_chain_kernel, **kw),
-            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-            grid=(lanes // block,),
+        final, traj = pl.pallas_call(
+            functools.partial(_mixture_chain_traj_kernel, **kw),
+            out_shape=out_shapes,
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 state_spec,
                 means_spec,
             ],
-            out_specs=state_spec,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(jnp.asarray([seed], jnp.int32), xt, packed)
     else:
@@ -536,10 +1073,10 @@ def mixture_langevin_chain(
                 f"noise must have shape {(n_steps, n_chains, dim)}, got {noise.shape}"
             )
         nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_steps)])
-        out = pl.pallas_call(
-            functools.partial(_mixture_chain_noise_kernel, **kw),
-            out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-            grid=(lanes // block,),
+        final, traj = pl.pallas_call(
+            functools.partial(_mixture_chain_traj_noise_kernel, **kw),
+            out_shape=out_shapes,
+            grid=grid,
             in_specs=[
                 state_spec,
                 means_spec,
@@ -547,10 +1084,12 @@ def mixture_langevin_chain(
                     (n_steps, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
                 ),
             ],
-            out_specs=state_spec,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
             interpret=interpret,
         )(xt, packed, nt)
-    return tiles_to_chains(out, n_chains, dim)
+    traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
+    return traj_chains, tiles_to_chains(final, n_chains, dim)
 
 
 # ---------------------------------------------------------------------------

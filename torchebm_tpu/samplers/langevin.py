@@ -82,6 +82,28 @@ def _block_noise_impl(sampler, x0, key, n_steps, block, model_kwargs):
     return x
 
 
+def _sched_concrete(p) -> bool:
+    """True if a schedulable parameter is a constant or a scheduler whose
+    per-step table is concrete at dispatch time (no traced leaves)."""
+    if isinstance(p, (int, float)):
+        return True
+    if isinstance(p, BaseScheduler):
+        return not any(
+            isinstance(leaf, jax.core.Tracer)
+            for leaf in jax.tree_util.tree_leaves(p)
+        )
+    return False
+
+
+def _sched_table_arg(p, n_steps: int):
+    """Chain-kernel argument form of a schedulable parameter: a Python float
+    (constant — baked into the kernel trace) or the concrete ``(n_steps,)``
+    per-step value table (staged into SMEM by the scheduled kernels)."""
+    if isinstance(p, (int, float)):
+        return float(p)
+    return jax.vmap(p.value)(jnp.arange(n_steps))
+
+
 @struct.dataclass
 class LangevinDynamics(BaseSampler):
     """Overdamped Langevin MCMC over a pluggable SDE integrator."""
@@ -139,10 +161,14 @@ class LangevinDynamics(BaseSampler):
 
         The dispatch is conservative: eager single-program calls only (inside a
         user ``jit``/``shard_map`` the generic scan path is used — it shards and
-        traces transparently), default Euler–Maruyama, constant step/noise, no
-        trajectory/diagnostics/conditioning, and an analytic energy the kernels
-        know (:class:`DoubleWellEnergy`, d-dim isotropic
-        :class:`GaussianMixtureEnergy` with K·d ≤ 1024, isotropic
+        traces transparently), default Euler–Maruyama, constant OR scheduled
+        step/noise (any :class:`BaseScheduler` with a concrete table — e.g. the
+        Energy-Matching :class:`TemperatureScheduler` — rides the scheduled
+        kernels' SMEM tables), thinned trajectories for constant schedules
+        (every kept state DMA'd to HBM in-kernel), no
+        diagnostics/conditioning, and an
+        analytic energy the kernels know (:class:`DoubleWellEnergy`, d-dim
+        isotropic :class:`GaussianMixtureEnergy` with K·d ≤ 1024, isotropic
         :class:`GaussianEnergy`). ``clamp`` is supported (folded into the
         kernels). ``fused="off"`` disables; ``"force"`` skips the TPU-backend
         check (kernel-stub tests).
@@ -151,15 +177,18 @@ class LangevinDynamics(BaseSampler):
             return False
         if self.fused != "force" and jax.default_backend() != "tpu":
             return False
-        if return_trajectory or return_diagnostics or model_kwargs:
+        if return_diagnostics or model_kwargs:
             return False
+        if return_trajectory and not (
+            isinstance(self.step_size, (int, float))
+            and isinstance(self.noise_scale, (int, float))
+        ):
+            return False  # trajectory kernels are constant-schedule only
         if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
             return False
         if type(self.integrator) is not EulerMaruyamaIntegrator:
             return False
-        if not isinstance(self.step_size, (int, float)) or not isinstance(
-            self.noise_scale, (int, float)
-        ):
+        if not _sched_concrete(self.step_size) or not _sched_concrete(self.noise_scale):
             return False
         if type(self.model) is DoubleWellEnergy:
             return isinstance(self.model.barrier_height, (int, float)) and isinstance(
@@ -213,26 +242,75 @@ class LangevinDynamics(BaseSampler):
             x0 = self._init_state(key_init, x, dim, n_samples)
             seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
             interpret = self.fused == "force" and jax.default_backend() != "tpu"
-            if type(self.model) is DoubleWellEnergy:
+            ss = _sched_table_arg(self.step_size, n_steps)
+            ns = _sched_table_arg(self.noise_scale, n_steps)
+            if return_trajectory:
+                if n_steps // thin >= 1:
+                    if type(self.model) is DoubleWellEnergy:
+                        traj, _ = ops.doublewell_langevin_chain_trajectory(
+                            x0,
+                            n_steps,
+                            ss,
+                            ns,
+                            thin=thin,
+                            barrier_height=float(self.model.barrier_height),
+                            b=float(self.model.b),
+                            seed=seed,
+                            clamp=self.clamp,
+                            interpret=interpret,
+                        )
+                        return jnp.moveaxis(traj, 0, 1)
+                    if type(self.model) is GaussianEnergy:
+                        if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
+                            traj, _ = ops.mixture_langevin_chain_trajectory(
+                                x0,
+                                self.model.mean[None, :],
+                                n_steps,
+                                ss,
+                                ns,
+                                thin=thin,
+                                scale=self._isotropic_gaussian_scale(),
+                                seed=seed,
+                                clamp=self.clamp,
+                                interpret=interpret,
+                            )
+                            return jnp.moveaxis(traj, 0, 1)
+                    elif x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
+                        traj, _ = ops.mixture_langevin_chain_trajectory(
+                            x0,
+                            self.model.means,
+                            n_steps,
+                            ss,
+                            ns,
+                            thin=thin,
+                            scale=float(self.model.scale),
+                            log_weights=self.model.log_weights,
+                            seed=seed,
+                            clamp=self.clamp,
+                            interpret=interpret,
+                        )
+                        return jnp.moveaxis(traj, 0, 1)
+                # unsupported shape / n_steps < thin: fall through to the scan
+            elif type(self.model) is DoubleWellEnergy:
                 return ops.doublewell_langevin_chain(
                     x0,
                     n_steps,
-                    float(self.step_size),
-                    float(self.noise_scale),
+                    ss,
+                    ns,
                     barrier_height=float(self.model.barrier_height),
                     b=float(self.model.b),
                     seed=seed,
                     clamp=self.clamp,
                     interpret=interpret,
                 )
-            if type(self.model) is GaussianEnergy:
+            elif type(self.model) is GaussianEnergy:
                 if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
                     return ops.mixture_langevin_chain(
                         x0,
                         self.model.mean[None, :],
                         n_steps,
-                        float(self.step_size),
-                        float(self.noise_scale),
+                        ss,
+                        ns,
                         scale=self._isotropic_gaussian_scale(),
                         seed=seed,
                         clamp=self.clamp,
@@ -243,8 +321,8 @@ class LangevinDynamics(BaseSampler):
                     x0,
                     self.model.means,
                     n_steps,
-                    float(self.step_size),
-                    float(self.noise_scale),
+                    ss,
+                    ns,
                     scale=float(self.model.scale),
                     log_weights=self.model.log_weights,
                     seed=seed,
