@@ -330,6 +330,173 @@ def test_tiles_round_trip(key):
     np.testing.assert_array_equal(np.asarray(tiles_to_chains(t, 1234, 7)), np.asarray(x))
 
 
+# ----------------------------------------------- full-covariance Gaussian
+
+
+def _gauss_grad_logp(x, mean, prec):
+    """Plain-jnp mirror of the kernels' full-covariance math (same op order)."""
+    d = x.shape[1]
+    diffs = [x[:, j] - mean[j] for j in range(d)]
+    grads = []
+    for i in range(d):
+        g = None
+        for j in range(d):
+            t = prec[i, j] * diffs[j]
+            g = t if g is None else g + t
+        grads.append(g)
+    quad = None
+    for i in range(d):
+        t = diffs[i] * grads[i]
+        quad = t if quad is None else quad + t
+    return jnp.stack(grads, -1), -0.5 * quad
+
+
+def _corr_gauss(key, d):
+    mean = jax.random.normal(key, (d,))
+    a = jax.random.normal(jax.random.fold_in(key, 1), (d, d)) / math.sqrt(d)
+    cov = a @ a.T + 0.5 * jnp.eye(d)
+    return mean, jnp.linalg.inv(cov)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_gaussian_langevin_chain_noise_parity(key, d):
+    """Round-3: precision= switches the chain kernels to the full-covariance
+    Gaussian evaluator (grad = P(x-mu)) — the correlated-Gaussian ESS workload."""
+    n, n_steps = 41, 9
+    h, ns = 0.05, 0.9
+    mean, prec = _corr_gauss(jax.random.fold_in(key, 2), d)
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+
+    out = mixture_langevin_chain(
+        x0, mean[None, :], n_steps, h, ns, precision=prec,
+        noise=noise, interpret=INTERPRET,
+    )
+
+    coef = ns * math.sqrt(2 * h)
+    x = x0
+    for t in range(n_steps):
+        grad, _ = _gauss_grad_logp(x, mean, prec)
+        x = x - h * grad + coef * noise[t]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_gaussian_precision_matches_isotropic_mixture(key):
+    """precision = I/sigma^2 must reproduce the 1-component isotropic kernel
+    bit-for-bit under the same injected noise (gradients are identical)."""
+    n, d, n_steps, sigma = 24, 3, 6, 0.7
+    mean = jax.random.normal(key, (d,))
+    x0 = jax.random.normal(jax.random.fold_in(key, 1), (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 2), (n_steps, n, d))
+    iso = mixture_langevin_chain(
+        x0, mean[None, :], n_steps, 0.05, scale=sigma, noise=noise,
+        interpret=INTERPRET,
+    )
+    full = mixture_langevin_chain(
+        x0, mean[None, :], n_steps, 0.05, precision=jnp.eye(d) / sigma**2,
+        noise=noise, interpret=INTERPRET,
+    )
+    np.testing.assert_allclose(np.asarray(full), np.asarray(iso), atol=1e-5)
+
+
+@pytest.mark.parametrize("d", [2, 3])
+def test_gaussian_mala_chain_noise_parity(key, d):
+    from torchebm_tpu.ops import mixture_mala_chain
+
+    n, n_steps = 33, 7
+    eta = 0.2
+    mean, prec = _corr_gauss(jax.random.fold_in(key, 2), d)
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+    unif = jax.random.uniform(jax.random.fold_in(key, 5), (n_steps, n))
+
+    samples, acc = mixture_mala_chain(
+        x0, mean[None, :], n_steps, eta, precision=prec,
+        noise=noise, uniforms=unif, interpret=INTERPRET,
+    )
+
+    coef = math.sqrt(2 * eta)
+    x = x0
+    acc_sum = jnp.zeros((n,))
+    for t in range(n_steps):
+        gx, lp_x = _gauss_grad_logp(x, mean, prec)
+        y = x - eta * gx + coef * noise[t]
+        gy, lp_y = _gauss_grad_logp(y, mean, prec)
+        sq_xy = jnp.zeros((n,))
+        sq_yx = jnp.zeros((n,))
+        for i in range(d):
+            dxy = x[:, i] - y[:, i] + eta * gy[:, i]
+            dyx = y[:, i] - x[:, i] + eta * gx[:, i]
+            sq_xy = sq_xy + dxy * dxy
+            sq_yx = sq_yx + dyx * dyx
+        log_ratio = (lp_y - lp_x) + (sq_yx - sq_xy) / (4.0 * eta)
+        accept_prob = jnp.minimum(jnp.exp(jnp.clip(log_ratio, -50.0, 50.0)), 1.0)
+        take = unif[t] < accept_prob
+        x = jnp.where(take[:, None], y, x)
+        acc_sum = acc_sum + accept_prob
+    np.testing.assert_allclose(np.asarray(samples), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_steps), atol=1e-5)
+
+
+def test_gaussian_hmc_chain_noise_parity(key):
+    from torchebm_tpu.ops import mixture_hmc_chain
+
+    n, n_draws, n_lf, d = 29, 5, 4, 3
+    h = 0.25
+    mean, prec = _corr_gauss(jax.random.fold_in(key, 2), d)
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_draws, n, d))
+    unif = jax.random.uniform(jax.random.fold_in(key, 5), (n_draws, n))
+
+    samples, acc = mixture_hmc_chain(
+        x0, mean[None, :], n_draws, h, n_lf, precision=prec,
+        noise=noise, uniforms=unif, interpret=INTERPRET,
+    )
+
+    x = x0
+    acc_sum = jnp.zeros((n,))
+    for t in range(n_draws):
+        p = noise[t]
+        g, lp0 = _gauss_grad_logp(x, mean, prec)
+        k0 = p[:, 0] * p[:, 0]
+        for i in range(1, d):
+            k0 = k0 + p[:, i] * p[:, i]
+        h0 = -lp0 + 0.5 * k0
+        q, mom = x, p
+        for _ in range(n_lf):
+            mom = mom - 0.5 * h * g
+            q = q + h * mom
+            g, _ = _gauss_grad_logp(q, mean, prec)
+            mom = mom - 0.5 * h * g
+        _, lp1 = _gauss_grad_logp(q, mean, prec)
+        k1 = mom[:, 0] * mom[:, 0]
+        for i in range(1, d):
+            k1 = k1 + mom[:, i] * mom[:, i]
+        h1 = -lp1 + 0.5 * k1
+        accept_prob = jnp.minimum(jnp.exp(jnp.clip(h0 - h1, -50.0, 50.0)), 1.0)
+        take = unif[t] < accept_prob
+        x = jnp.where(take[:, None], q, x)
+        g, _ = _gauss_grad_logp(x, mean, prec)
+        acc_sum = acc_sum + accept_prob
+    np.testing.assert_allclose(np.asarray(samples), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_draws), atol=1e-5)
+
+
+def test_gaussian_precision_guards(key):
+    means2 = jnp.zeros((2, 2))
+    with pytest.raises(ValueError, match="single"):
+        mixture_langevin_chain(
+            jnp.zeros((8, 2)), means2, 3, 0.01, precision=jnp.eye(2),
+            interpret=INTERPRET,
+        )
+    d = 33
+    with pytest.raises(ValueError, match="d=33"):
+        mixture_langevin_chain(
+            jnp.zeros((8, d)), jnp.zeros((1, d)), 3, 0.01,
+            precision=jnp.eye(d), interpret=INTERPRET,
+        )
+
+
 # ----------------------------------------------------------------------- HMC
 
 
@@ -478,6 +645,96 @@ def test_mala_chain_noise_parity(key, d, k):
         acc_sum = acc_sum + accept_prob
     np.testing.assert_allclose(np.asarray(samples), np.asarray(x), atol=2e-4)
     np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_steps), atol=1e-5)
+
+
+@pytest.mark.parametrize("thin", [1, 3])
+def test_mala_trajectory_noise_parity(key, thin):
+    """Round-3: MALA trajectory kernel — kept post-MH states, final state and
+    overall acceptance must all match the plain-jnp loop."""
+    from torchebm_tpu.ops import mixture_mala_chain_trajectory
+
+    n, d, k, n_steps = 29, 2, 4, 9
+    eta, scale = 0.08, 0.7
+    means = 3.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+    unif = jax.random.uniform(jax.random.fold_in(key, 5), (n_steps, n))
+
+    traj, final, acc = mixture_mala_chain_trajectory(
+        x0, means, n_steps, eta, thin=thin, scale=scale, log_weights=logw,
+        noise=noise, uniforms=unif, interpret=INTERPRET,
+    )
+
+    inv_var = 1.0 / scale**2
+    coef = math.sqrt(2 * eta)
+    x, kept = x0, []
+    acc_sum = jnp.zeros((n,))
+    for t in range(n_steps):
+        gx, lp_x = _mix_grad_logp(x, means, logw, inv_var)
+        y = x - eta * gx + coef * noise[t]
+        gy, lp_y = _mix_grad_logp(y, means, logw, inv_var)
+        sq_xy = jnp.zeros((n,))
+        sq_yx = jnp.zeros((n,))
+        for i in range(d):
+            dxy = x[:, i] - y[:, i] + eta * gy[:, i]
+            dyx = y[:, i] - x[:, i] + eta * gx[:, i]
+            sq_xy = sq_xy + dxy * dxy
+            sq_yx = sq_yx + dyx * dyx
+        log_ratio = (lp_y - lp_x) + (sq_yx - sq_xy) / (4.0 * eta)
+        accept_prob = jnp.minimum(jnp.exp(jnp.clip(log_ratio, -50.0, 50.0)), 1.0)
+        x = jnp.where((unif[t] < accept_prob)[:, None], y, x)
+        acc_sum = acc_sum + accept_prob
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (n_steps // thin, n, d)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_steps), atol=1e-5)
+
+
+def test_hmc_trajectory_noise_parity(key):
+    from torchebm_tpu.ops import mixture_hmc_chain_trajectory
+
+    n, n_draws, n_lf, d, k, thin = 25, 6, 3, 2, 4, 2
+    h, scale = 0.25, 0.8
+    means = 3.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_draws, n, d))
+    unif = jax.random.uniform(jax.random.fold_in(key, 5), (n_draws, n))
+
+    traj, final, acc = mixture_hmc_chain_trajectory(
+        x0, means, n_draws, h, n_lf, thin=thin, scale=scale, log_weights=logw,
+        noise=noise, uniforms=unif, interpret=INTERPRET,
+    )
+
+    inv_var = 1.0 / scale**2
+    x, kept = x0, []
+    acc_sum = jnp.zeros((n,))
+    for t in range(n_draws):
+        p = noise[t]
+        g, lp0 = _mix_grad_logp(x, means, logw, inv_var)
+        k0 = jnp.sum(p * p, axis=1)
+        h0 = -lp0 + 0.5 * k0
+        q, mom = x, p
+        for _ in range(n_lf):
+            mom = mom - 0.5 * h * g
+            q = q + h * mom
+            g, _ = _mix_grad_logp(q, means, logw, inv_var)
+            mom = mom - 0.5 * h * g
+        _, lp1 = _mix_grad_logp(q, means, logw, inv_var)
+        h1 = -lp1 + 0.5 * jnp.sum(mom * mom, axis=1)
+        accept_prob = jnp.minimum(jnp.exp(jnp.clip(h0 - h1, -50.0, 50.0)), 1.0)
+        x = jnp.where((unif[t] < accept_prob)[:, None], q, x)
+        g, _ = _mix_grad_logp(x, means, logw, inv_var)
+        acc_sum = acc_sum + accept_prob
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (n_draws // thin, n, d)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_sum / n_draws), atol=1e-5)
 
 
 def test_mala_mh_ratio_is_exact_detailed_balance(key):

@@ -160,14 +160,7 @@ class TestFusedDispatch:
         hmc = HamiltonianMonteCarlo(mix, step_size=0.3, fused="auto")
         assert hmc.sample(key, dim=2, n_samples=8, n_steps=3).shape == (8, 2)
 
-    @pytest.mark.parametrize(
-        "mk",
-        [
-            dict(return_trajectory=True),
-            dict(return_diagnostics=True),
-        ],
-    )
-    def test_unsupported_features_fall_back(self, key, monkeypatch, mk):
+    def test_diagnostics_fall_back(self, key, monkeypatch):
         from torchebm_tpu.core import GaussianMixtureEnergy
         import torchebm_tpu.ops.fused_hmc as fh
 
@@ -175,9 +168,39 @@ class TestFusedDispatch:
             raise AssertionError("must not dispatch")
 
         monkeypatch.setattr(fh, "mixture_hmc_chain", boom)
+        monkeypatch.setattr(fh, "mixture_hmc_chain_trajectory", boom)
         mix = GaussianMixtureEnergy.eight_gaussians()
         hmc = HamiltonianMonteCarlo(mix, step_size=0.3, fused="force")
-        hmc.sample(key, dim=2, n_samples=8, n_steps=3, **mk)
+        hmc.sample(key, dim=2, n_samples=8, n_steps=3, return_diagnostics=True)
+
+    def test_trajectory_routes_to_trajectory_kernel(self, key, monkeypatch):
+        """Round-3: return_trajectory rides the DMA trajectory kernel — the
+        R̂/ESS workload no longer falls back to the scan."""
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        calls = []
+
+        def stub(x0, means, n_draws, step_size, n_leapfrog, *, thin, mass=None,
+                 seed=0, interpret=False, **target_kw):
+            calls.append((x0.shape, n_draws, thin, n_leapfrog))
+            n_kept = n_draws // thin
+            return (
+                jnp.zeros((n_kept, *x0.shape)),
+                x0,
+                jnp.ones(x0.shape[0]),
+            )
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain_trajectory", stub)
+        mix = GaussianMixtureEnergy.eight_gaussians()
+        hmc = HamiltonianMonteCarlo(
+            mix, step_size=0.3, n_leapfrog_steps=5, fused="force"
+        )
+        out = hmc.sample(
+            key, dim=2, n_samples=8, n_steps=9, thin=3, return_trajectory=True
+        )
+        assert calls == [((8, 2), 9, 3, 5)]
+        assert out.shape == (8, 3, 2)
 
     def test_nonmixture_falls_back(self, key, monkeypatch):
         import torchebm_tpu.ops.fused_hmc as fh
@@ -212,6 +235,30 @@ class TestFusedDispatch:
         ).sample(key, dim=2, n_samples=4, n_steps=2)
         assert float(seen[0]) == 2.0
         assert seen[1].tolist() == [1.0, 4.0]
+
+    def test_gaussian_routes_with_precision(self, key, monkeypatch):
+        """Round-3 widening: concrete full-covariance Gaussians dispatch to
+        the precision-packed HMC kernel (the corr-Gaussian ESS workload)."""
+        from torchebm_tpu.core import GaussianEnergy
+        import torchebm_tpu.ops.fused_hmc as fh
+
+        calls = []
+
+        def stub(x0, means, n_draws, step_size, n_leapfrog, *, precision,
+                 mass=None, seed=0, interpret=False):
+            calls.append((x0.shape, means.shape, precision.shape, n_leapfrog))
+            return x0, jnp.ones(x0.shape[0])
+
+        monkeypatch.setattr(fh, "mixture_hmc_chain", stub)
+        e = GaussianEnergy.create(
+            jnp.zeros(2), jnp.array([[2.0, 0.9], [0.9, 1.0]])
+        )
+        hmc = HamiltonianMonteCarlo(
+            e, step_size=0.2, n_leapfrog_steps=7, fused="force"
+        )
+        out = hmc.sample(key, dim=2, n_samples=8, n_steps=3)
+        assert calls == [((8, 2), (1, 2), (2, 2), 7)]
+        assert out.shape == (8, 2)
 
     def test_traced_calls_fall_back(self, key, monkeypatch):
         from torchebm_tpu.core import GaussianMixtureEnergy
@@ -278,3 +325,22 @@ class TestMassAdaptation:
         hmc = HamiltonianMonteCarlo(GaussianEnergy.standard(2), step_size=0.2)
         out = hmc.warmup(key, dim=2, n_warmup=50, n_samples=16)
         assert len(out) == 2
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="in-kernel PRNG requires TPU hardware"
+)
+def test_gaussian_kernel_moments_on_tpu(key):
+    """Round-3: the precision-packed HMC kernel preserves a correlated
+    Gaussian's moments (statistical check; exact parity is pinned by the
+    injected-randomness tests in tests/ops/test_chain_parity.py)."""
+    cov = jnp.array([[1.0, 0.8], [0.8, 1.0]])
+    e = GaussianEnergy.create(jnp.zeros(2), cov)
+    x0 = e.sample(key, 512)
+    hmc = HamiltonianMonteCarlo(e, step_size=0.2, n_leapfrog_steps=8)
+    traj = hmc.sample(
+        jax.random.fold_in(key, 1), x=x0, n_steps=300, return_trajectory=True
+    )
+    flat = traj.reshape(-1, 2)
+    np.testing.assert_allclose(np.asarray(jnp.mean(flat, 0)), np.zeros(2), atol=0.1)
+    np.testing.assert_allclose(np.asarray(jnp.cov(flat.T)), np.asarray(cov), atol=0.12)

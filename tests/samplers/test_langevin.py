@@ -156,16 +156,44 @@ class TestFusedDispatch:
         assert calls == [((16, 3), (1, 3), pytest.approx(2.0))]
         assert out.shape == (16, 3)
 
-    def test_anisotropic_gaussian_falls_back(self, key, monkeypatch):
+    def test_anisotropic_gaussian_routes_with_precision(self, key, monkeypatch):
+        """Round-3 widening: full-covariance Gaussians dispatch to the
+        precision-packed kernel instead of falling back (parity pinned in
+        tests/ops/test_chain_parity.py)."""
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        calls = []
+
+        def stub(x0, means, n_steps, step_size, noise_scale, *, precision,
+                 seed, clamp=None, interpret=False):
+            calls.append((x0.shape, means.shape, precision.shape))
+            return x0
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", stub)
+        cov = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+        e = GaussianEnergy.create(jnp.zeros(2), cov)
+        sampler = LangevinDynamics(e, step_size=0.05, fused="force")
+        out = sampler.sample(key, dim=2, n_samples=8, n_steps=3)
+        assert calls == [((8, 2), (1, 2), (2, 2))]
+        assert out.shape == (8, 2)
+        # the precision forwarded is the energy's stored cov_inv
+        np.testing.assert_allclose(
+            np.asarray(e.cov_inv @ cov), np.eye(2), atol=1e-6
+        )
+
+    def test_oversize_gaussian_falls_back(self, key, monkeypatch):
+        """Full-covariance Gaussians beyond the d<=32 unroll cap use the scan."""
         import torchebm_tpu.ops.fused_langevin as fl
 
         def boom(*a, **k):  # pragma: no cover
-            raise AssertionError("anisotropic Gaussian must use the scan path")
+            raise AssertionError("d=40 Gaussian must use the scan path")
 
         monkeypatch.setattr(fl, "mixture_langevin_chain", boom)
-        e = GaussianEnergy.create(jnp.zeros(2), jnp.array([[2.0, 0.5], [0.5, 1.0]]))
+        d = 40
+        a = jax.random.normal(key, (d, d)) / jnp.sqrt(d)
+        e = GaussianEnergy.create(jnp.zeros(d), a @ a.T + jnp.eye(d))
         sampler = LangevinDynamics(e, step_size=0.05, fused="force")
-        assert sampler.sample(key, dim=2, n_samples=8, n_steps=3).shape == (8, 2)
+        assert sampler.sample(key, dim=d, n_samples=8, n_steps=2).shape == (8, d)
 
     def test_oversize_mixture_falls_back(self, key, monkeypatch):
         """K*d beyond the kernel unroll cap uses the scan path."""
@@ -192,16 +220,54 @@ class TestFusedDispatch:
         out = sampler.sample(key, dim=2, n_samples=16, n_steps=10)
         assert out.shape == (16, 2)
 
-    def test_diagnostics_fall_back(self, key, monkeypatch):
+    def test_diagnostics_route_to_trajectory_kernel(self, key, monkeypatch):
+        """Round-3: return_diagnostics rides the trajectory kernel too — the
+        diag channel (mean/var/energy per kept slot, scan-loop contract) is
+        computed from the kernel trajectory."""
         import torchebm_tpu.ops.fused_langevin as fl
 
-        def boom(*a, **k):  # pragma: no cover
-            raise AssertionError("fused kernel must not handle diagnostics calls")
+        recorded = {}
 
-        monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
-        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", boom)
+        def stub(x0, n_steps, step_size, noise_scale, *, thin, **kw):
+            n_kept = n_steps // thin
+            traj = jnp.arange(n_kept * x0.size, dtype=jnp.float32).reshape(
+                n_kept, *x0.shape
+            )
+            recorded["traj"] = traj
+            return traj, x0 + 1.0
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", stub)
+        model = DoubleWellEnergy()
+        sampler = LangevinDynamics(model, step_size=0.01, fused="force")
+        out, diag = sampler.sample(
+            key, dim=3, n_samples=8, n_steps=6, thin=2, return_diagnostics=True
+        )
+        traj = recorded["traj"]
+        assert out.shape == (8, 3)  # final state, not the trajectory
+        assert diag["mean"].shape == (3, 3) and diag["var"].shape == (3, 3)
+        assert diag["energy"].shape == (3,)
+        np.testing.assert_allclose(diag["mean"], jnp.mean(traj, axis=1), rtol=1e-6)
+        np.testing.assert_allclose(
+            diag["energy"],
+            jnp.stack([jnp.mean(model.energy(traj[i])) for i in range(3)]),
+            rtol=1e-6,
+        )
+
+    def test_trajectory_and_diagnostics_together(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_langevin as fl
+
+        def stub(x0, n_steps, step_size, noise_scale, *, thin, **kw):
+            n_kept = n_steps // thin
+            return jnp.zeros((n_kept, *x0.shape)), x0
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", stub)
         sampler = LangevinDynamics(DoubleWellEnergy(), step_size=0.01, fused="force")
-        sampler.sample(key, dim=2, n_samples=8, n_steps=5, return_diagnostics=True)
+        out, diag = sampler.sample(
+            key, dim=2, n_samples=4, n_steps=4, thin=2,
+            return_trajectory=True, return_diagnostics=True,
+        )
+        assert out.shape == (4, 2, 2)
+        assert diag["energy"].shape == (2,)
 
     def test_trajectory_routes_to_trajectory_kernel(self, key, monkeypatch):
         """Round-3 stretch: return_trajectory rides the DMA trajectory kernel

@@ -7,8 +7,8 @@ directly for hand-wired use, mirroring the reference's explicit-import stance
 (``cuda/__init__.py:8``).
 """
 
-from .fused_hmc import mixture_hmc_chain
-from .fused_mala import mixture_mala_chain
+from .fused_hmc import mixture_hmc_chain, mixture_hmc_chain_trajectory
+from .fused_mala import mixture_mala_chain, mixture_mala_chain_trajectory
 from .fused_langevin import (
     doublewell_langevin_chain,
     doublewell_langevin_chain_trajectory,
@@ -24,5 +24,7 @@ __all__ = [
     "mixture_langevin_chain",
     "mixture_langevin_chain_trajectory",
     "mixture_hmc_chain",
+    "mixture_hmc_chain_trajectory",
     "mixture_mala_chain",
+    "mixture_mala_chain_trajectory",
 ]

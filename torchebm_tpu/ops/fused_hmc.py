@@ -1,4 +1,4 @@
-r"""Pallas TPU kernel: whole-chain HMC on d-dim isotropic Gaussian mixtures.
+r"""Pallas TPU kernel: whole-chain HMC on mixtures / full-covariance Gaussians.
 
 Beyond-reference perf feature (the reference's kernel layer stops at Langevin,
 ``torchebm/cuda/fused_langevin.py``): an entire HMC run — momentum refresh,
@@ -15,8 +15,14 @@ outputs of the hardware PRNG, uniforms from one 24-bit draw. An
 injected-randomness variant (``noise=`` momenta + ``uniforms=`` MH draws)
 gives the exact-parity CI path on CPU interpret mode.
 
-Numerical guards mirror the library sampler (``samplers/hmc.py``):
-the Hamiltonian difference is clamped to ±50 before ``exp``.
+Targets: d-dim isotropic Gaussian mixtures (``pack_mixture_params``) or a
+full-covariance Gaussian via ``precision=`` (``pack_gaussian_params``, d ≤ 32
+— the correlated-Gaussian ESS benchmark workload rides this path after
+dual-averaging warmup). The ``*_trajectory`` variant DMAs every ``thin``-th
+post-MH draw to an HBM-resident trajectory so ``return_trajectory=True``
+R̂/ESS runs stay on the kernel. Numerical guards mirror the library sampler
+(``samplers/hmc.py``): the Hamiltonian difference is clamped to ±50 before
+``exp``.
 """
 
 from __future__ import annotations
@@ -33,19 +39,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_langevin import (
     _LANE,
     _mixture_block,
-    _mixture_grad_logp,
+    _pack_target,
+    _tile_grad_logp,
     _normal_tiles,
     _round_up,
     _split_coords,
     _uniform_from_bits,
     chains_to_tiles,
-    pack_mixture_params,
     tiles_to_chains,
 )
 
 Array = jax.Array
 
-__all__ = ["mixture_hmc_chain"]
+__all__ = ["mixture_hmc_chain", "mixture_hmc_chain_trajectory"]
 
 
 def _hmc_draw(x, eps, u, means, *, n_leapfrog, step_size, inv_var, n_components,
@@ -66,7 +72,7 @@ def _hmc_draw(x, eps, u, means, *, n_leapfrog, step_size, inv_var, n_components,
         minv = [1.0] * d
     p = [eps[i] * msqrt[i] for i in range(d)]
     coords = _split_coords(x, d)
-    grads, lp0 = _mixture_grad_logp(coords, means, inv_var, n_components)
+    grads, lp0 = _tile_grad_logp(coords, means, inv_var, n_components, d)
     k0 = p[0] * p[0] * minv[0]
     for i in range(1, d):
         k0 = k0 + p[i] * p[i] * minv[i]
@@ -77,7 +83,7 @@ def _hmc_draw(x, eps, u, means, *, n_leapfrog, step_size, inv_var, n_components,
         q, mom, g = s[:d], s[d : 2 * d], s[2 * d :]
         mom = [mom[i] - 0.5 * h * g[i] for i in range(d)]
         q = [q[i] + h * mom[i] * minv[i] for i in range(d)]
-        ng, _ = _mixture_grad_logp(list(q), means, inv_var, n_components)
+        ng, _ = _tile_grad_logp(list(q), means, inv_var, n_components, d)
         mom = [mom[i] - 0.5 * h * ng[i] for i in range(d)]
         return tuple(q) + tuple(mom) + tuple(ng)
 
@@ -85,7 +91,7 @@ def _hmc_draw(x, eps, u, means, *, n_leapfrog, step_size, inv_var, n_components,
         0, n_leapfrog, lf, tuple(coords) + tuple(p) + tuple(grads)
     )
     q, mom = state[:d], state[d : 2 * d]
-    _, lp1 = _mixture_grad_logp(list(q), means, inv_var, n_components)
+    _, lp1 = _tile_grad_logp(list(q), means, inv_var, n_components, d)
     k1 = mom[0] * mom[0] * minv[0]
     for i in range(1, d):
         k1 = k1 + mom[i] * mom[i] * minv[i]
@@ -151,6 +157,216 @@ def _mixture_hmc_noise_kernel(x_ref, means_ref, noise_ref, unif_ref, out_ref,
     acc_ref[...] = acc * (1.0 / n_draws)
 
 
+def _mixture_hmc_traj_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref,
+                             traj_ref, scratch_ref, sem_ref, *, n_draws, thin,
+                             n_leapfrog, step_size, inv_var, n_components, d,
+                             use_mass, block):
+    """HMC run emitting every ``thin``-th post-MH state to HBM (the R̂/ESS
+    workload; staging pattern as in
+    :func:`~torchebm_tpu.ops.fused_langevin._mixture_chain_traj_kernel`)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]
+    tile = (8, x_ref.shape[1])
+    col0 = pl.program_id(0) * block
+
+    def draw(i, carry):
+        x, acc_sum = carry
+        eps = _normal_tiles(tile, d)
+        u = _uniform_from_bits(tile)
+        new_x, accept_prob = _hmc_draw(
+            x, eps, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
+            inv_var=inv_var, n_components=n_components, d=d, use_mass=use_mass,
+        )
+
+        @pl.when((i + 1) % thin == 0)
+        def _():
+            k = (i + 1) // thin - 1
+            scratch_ref[...] = new_x
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return new_x, acc_sum + accept_prob
+
+    x_f, acc = jax.lax.fori_loop(
+        0, n_draws, draw, (x_ref[...], jnp.zeros(tile, jnp.float32))
+    )
+    out_ref[...] = x_f
+    acc_ref[...] = acc * (1.0 / n_draws)
+
+
+def _mixture_hmc_traj_noise_kernel(x_ref, means_ref, noise_ref, unif_ref,
+                                   out_ref, acc_ref, traj_ref, scratch_ref,
+                                   sem_ref, *, n_draws, thin, n_leapfrog,
+                                   step_size, inv_var, n_components, d,
+                                   use_mass, block):
+    """Injected-randomness variant of :func:`_mixture_hmc_traj_kernel`."""
+    means = means_ref[...]
+    tile = (8, x_ref.shape[1])
+    col0 = pl.program_id(0) * block
+
+    def draw(t, carry):
+        x, acc_sum = carry
+        eps = _split_coords(noise_ref[pl.ds(t, 1)][0], d)
+        u = unif_ref[pl.ds(t, 1)][0]
+        new_x, accept_prob = _hmc_draw(
+            x, eps, u, means, n_leapfrog=n_leapfrog, step_size=step_size,
+            inv_var=inv_var, n_components=n_components, d=d, use_mass=use_mass,
+        )
+
+        @pl.when((t + 1) % thin == 0)
+        def _():
+            k = (t + 1) // thin - 1
+            scratch_ref[...] = new_x
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return new_x, acc_sum + accept_prob
+
+    x_f, acc = jax.lax.fori_loop(
+        0, n_draws, draw, (x_ref[...], jnp.zeros(tile, jnp.float32))
+    )
+    out_ref[...] = x_f
+    acc_ref[...] = acc * (1.0 / n_draws)
+
+
+def mixture_hmc_chain_trajectory(
+    x0: Array,
+    means: Array,
+    n_draws: int,
+    step_size: float,
+    n_leapfrog: int = 10,
+    *,
+    thin: int = 1,
+    scale: float = 1.0,
+    log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
+    mass: Optional[Array] = None,
+    seed: int = 0,
+    noise: Optional[Array] = None,
+    uniforms: Optional[Array] = None,
+    block_chains: int = 1 << 20,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Whole HMC run recording every ``thin``-th draw (the R̂/ESS workload).
+
+    Returns ``(traj, final, accept)``: ``traj`` of shape
+    ``(n_draws//thin, n_chains, d)`` (post-MH states after draws
+    ``thin, 2·thin, …``), ``final`` the state after all draws, ``accept``
+    the per-chain mean acceptance. ``precision=`` selects the
+    full-covariance Gaussian target; ``mass`` as in :func:`mixture_hmc_chain`.
+    """
+    n_chains, dim = x0.shape
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            "mixture_hmc_chain_trajectory unrolls K components x d dims "
+            f"in-kernel; K*d={k * dim}, d={dim} exceeds the supported size"
+        )
+    if thin < 1:
+        raise ValueError("thin must be >= 1")
+    n_kept = int(n_draws) // int(thin)
+    if n_kept < 1:
+        raise ValueError("n_draws // thin must be >= 1 for trajectory output")
+    if (noise is None) != (uniforms is None):
+        raise ValueError("noise and uniforms must be supplied together")
+
+    xt, padded = chains_to_tiles(x0)
+    lanes = padded // 8
+    if mass is not None:
+        mass = jnp.broadcast_to(jnp.asarray(mass, jnp.float32), (dim,))
+    packed, n_comp = _pack_target(means, log_weights, precision, mass=mass)
+    block = _mixture_block(
+        lanes, dim, block_chains,
+        n_staged=(0 if noise is None else int(n_draws) + 1) + 1,
+    )
+
+    kw = dict(
+        n_draws=int(n_draws),
+        thin=int(thin),
+        n_leapfrog=int(n_leapfrog),
+        step_size=float(step_size),
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=n_comp,
+        d=int(dim),
+        use_mass=mass is not None,
+        block=int(block),
+    )
+    rows = 8 * dim
+    grid = (lanes // block,)
+    state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((8, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((n_kept, rows, lanes), jnp.float32),
+    )
+    out_specs = (state_spec, acc_spec, pl.BlockSpec(memory_space=pl.ANY))
+    scratch = [
+        pltpu.VMEM((rows, block), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if noise is None:
+        out, acc, traj = pl.pallas_call(
+            functools.partial(_mixture_hmc_traj_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                state_spec,
+                means_spec,
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), xt, packed)
+    else:
+        if noise.shape != (n_draws, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_draws, n_chains, dim)}, got {noise.shape}"
+            )
+        if uniforms.shape != (n_draws, n_chains):
+            raise ValueError(
+                f"uniforms must have shape {(n_draws, n_chains)}, got {uniforms.shape}"
+            )
+        nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_draws)])
+        ut = jnp.stack(
+            [chains_to_tiles(uniforms[t][:, None])[0] for t in range(n_draws)]
+        )
+        out, acc, traj = pl.pallas_call(
+            functools.partial(_mixture_hmc_traj_noise_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                state_spec,
+                means_spec,
+                pl.BlockSpec(
+                    (n_draws, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n_draws, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xt, packed, nt, ut)
+    traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
+    return (
+        traj_chains,
+        tiles_to_chains(out, n_chains, dim),
+        acc.reshape(padded)[:n_chains],
+    )
+
+
 def mixture_hmc_chain(
     x0: Array,
     means: Array,
@@ -160,6 +376,7 @@ def mixture_hmc_chain(
     *,
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
     mass: Optional[Array] = None,
     seed: int = 0,
     noise: Optional[Array] = None,
@@ -196,7 +413,7 @@ def mixture_hmc_chain(
     lanes = padded // 8
     if mass is not None:
         mass = jnp.broadcast_to(jnp.asarray(mass, jnp.float32), (dim,))
-    packed = pack_mixture_params(means, log_weights, mass=mass)
+    packed, n_comp = _pack_target(means, log_weights, precision, mass=mass)
     # injected-randomness CI path stages (n_draws, 8d+8, block) in VMEM too
     block = _mixture_block(
         lanes, dim, block_chains, n_staged=0 if noise is None else int(n_draws) + 1
@@ -207,7 +424,7 @@ def mixture_hmc_chain(
         n_leapfrog=int(n_leapfrog),
         step_size=float(step_size),
         inv_var=1.0 / float(scale) ** 2,
-        n_components=int(k),
+        n_components=n_comp,
         d=int(dim),
         use_mass=mass is not None,
     )

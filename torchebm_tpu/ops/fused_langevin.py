@@ -15,7 +15,10 @@ reference):
   for d-dim isotropic Gaussian-mixture energies (the 8gaussians benchmark
   target; a 1-component mixture covers isotropic ``GaussianEnergy``), with
   the responsibility-weighted analytic gradient computed in-kernel and an
-  optional fused per-step clamp.
+  optional fused per-step clamp. With ``precision=`` the same kernels run a
+  full-covariance Gaussian target instead (:func:`pack_gaussian_params`
+  packing, :func:`_gaussian_grad_logp` evaluator, d ≤ 32) — the
+  correlated-Gaussian ESS workload.
 
 Every chain kernel has an injected-noise variant (``noise=``) that skips the
 in-kernel PRNG: the exact-parity CI path, tested step-for-step against plain
@@ -147,6 +150,90 @@ def _mixture_grad_logp(coords, means, inv_var, n_components):
     inv_den = 1.0 / den
     grads = [(coords[i] - nums[i] * inv_den) * inv_var for i in range(d)]
     return grads, m + jnp.log(den)
+
+
+def _gaussian_grad_logp(coords, pm, d):
+    r"""In-kernel full-covariance Gaussian on (8, L) coordinate blocks.
+
+    ``pm`` is the :func:`pack_gaussian_params` tile: row ``i < d`` holds row i
+    of the precision matrix :math:`P = \Sigma^{-1}` (columns 0..d-1), row
+    ``d`` the mean. Returns ``(grads, logp)`` with
+    :math:`\nabla_i E = \sum_j P_{ij}(x_j - \mu_j)` (matching
+    :class:`~torchebm_tpu.core.energies.GaussianEnergy`, reference
+    ``base_model.py:151-210``) and the unnormalized log-density
+    :math:`-\tfrac12 \sum_i (x_i-\mu_i)\,\nabla_i E` (constant dropped — it
+    cancels in Metropolis ratios). The d² multiply-adds unroll into the
+    trace, hence the d ≤ 32 wrapper guard.
+    """
+    diffs = [coords[j] - pm[d, j] for j in range(d)]
+    grads = []
+    for i in range(d):
+        g = None
+        for j in range(d):
+            term = pm[i, j] * diffs[j]
+            g = term if g is None else g + term
+        grads.append(g)
+    quad = None
+    for i in range(d):
+        t = diffs[i] * grads[i]
+        quad = t if quad is None else quad + t
+    return grads, -0.5 * quad
+
+
+def _tile_grad_logp(coords, params, inv_var, n_components, d):
+    """Dispatch the in-kernel target evaluator by packing convention.
+
+    ``n_components >= 1``: isotropic mixture (:func:`pack_mixture_params`
+    tile). ``n_components == 0``: full-covariance Gaussian
+    (:func:`pack_gaussian_params` tile). The branch resolves at trace time —
+    ``n_components`` is a Python int baked via ``functools.partial``.
+    """
+    if n_components == 0:
+        return _gaussian_grad_logp(coords, params, d)
+    return _mixture_grad_logp(coords, params, inv_var, n_components)
+
+
+def pack_gaussian_params(
+    mean: Array, precision: Array, mass: Optional[Array] = None
+) -> Array:
+    """Pack a (d,) mean + (d, d) precision into the kernels' 2D tile.
+
+    Layout mirrors :func:`pack_mixture_params` so the kernels are agnostic:
+    row ``i < d`` = precision row i (columns 0..d-1), row ``d`` = mean, row
+    ``d+1`` = optional per-dimension diagonal mass (HMC kernels).
+    """
+    d = mean.shape[0]
+    if precision.shape != (d, d):
+        raise ValueError(f"precision must be ({d}, {d}), got {precision.shape}")
+    cols = _round_up(d, _LANE)
+    rows = _round_up(d + 1 + (1 if mass is not None else 0), 8)
+    packed = jnp.zeros((rows, cols), jnp.float32)
+    packed = packed.at[:d, :d].set(precision)
+    packed = packed.at[d, :d].set(mean)
+    if mass is not None:
+        packed = packed.at[d + 1, :d].set(jnp.broadcast_to(mass, (d,)))
+    return packed
+
+
+def _pack_target(means, log_weights, precision, mass=None):
+    """Pack the target-params tile and pick the evaluator convention.
+
+    Returns ``(packed, n_components)``: mixture packing when ``precision`` is
+    None, else the full-covariance Gaussian packing (``n_components = 0``;
+    ``means`` must then be a single ``(1, d)`` row — the Gaussian mean).
+    """
+    k, d = means.shape
+    if precision is None:
+        return pack_mixture_params(means, log_weights, mass=mass), int(k)
+    if k != 1:
+        raise ValueError(
+            "precision= requires a single (1, d) means row (a Gaussian target)"
+        )
+    if d > 32:
+        raise ValueError(
+            f"full-covariance kernels unroll d^2 precision terms; d={d} > 32"
+        )
+    return pack_gaussian_params(means[0], jnp.asarray(precision, jnp.float32), mass=mass), 0
 
 
 def _normal_tiles(shape, d):
@@ -640,7 +727,7 @@ def _mixture_chain_kernel(seed_ref, x_ref, means_ref, out_ref, *, n_steps,
 
     def body(_, x):
         coords = _split_coords(x, d)
-        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
         eps = _normal_tiles(coords[0].shape, d)
         new = [
             _clip(coords[i] - step_size * grads[i] + noise_coef * eps[i], clamp)
@@ -659,7 +746,7 @@ def _mixture_chain_noise_kernel(x_ref, means_ref, noise_ref, out_ref, *,
 
     def body(i, x):
         coords = _split_coords(x, d)
-        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
         et = noise_ref[pl.ds(i, 1)][0]
         eps = _split_coords(et, d)
         new = [
@@ -681,7 +768,7 @@ def _mixture_chain_sched_kernel(seed_ref, sched_ref, x_ref, means_ref, out_ref,
         h = sched_ref[0, i]
         nc = sched_ref[1, i]
         coords = _split_coords(x, d)
-        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
         eps = _normal_tiles(coords[0].shape, d)
         new = [_clip(coords[j] - h * grads[j] + nc * eps[j], clamp) for j in range(d)]
         return jnp.concatenate(new, axis=0)
@@ -699,7 +786,7 @@ def _mixture_chain_sched_noise_kernel(sched_ref, x_ref, means_ref, noise_ref,
         h = sched_ref[0, i]
         nc = sched_ref[1, i]
         coords = _split_coords(x, d)
-        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
         eps = _split_coords(noise_ref[pl.ds(i, 1)][0], d)
         new = [_clip(coords[j] - h * grads[j] + nc * eps[j], clamp) for j in range(d)]
         return jnp.concatenate(new, axis=0)
@@ -726,7 +813,7 @@ def _mixture_chain_traj_kernel(seed_ref, x_ref, means_ref, out_ref, traj_ref,
 
     def body(i, x):
         coords = _split_coords(x, d)
-        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
         eps = _normal_tiles(coords[0].shape, d)
         new = [
             _clip(coords[j] - step_size * grads[j] + noise_coef * eps[j], clamp)
@@ -759,7 +846,7 @@ def _mixture_chain_traj_noise_kernel(x_ref, means_ref, noise_ref, out_ref,
 
     def body(i, x):
         coords = _split_coords(x, d)
-        grads, _ = _mixture_grad_logp(coords, means, inv_var, n_components)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
         eps = _split_coords(noise_ref[pl.ds(i, 1)][0], d)
         new = [
             _clip(coords[j] - step_size * grads[j] + noise_coef * eps[j], clamp)
@@ -851,6 +938,7 @@ def mixture_langevin_chain(
     *,
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
     seed: int = 0,
     clamp: Optional[Tuple[float, float]] = None,
     noise: Optional[Array] = None,
@@ -882,7 +970,7 @@ def mixture_langevin_chain(
 
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
-    packed = pack_mixture_params(means, log_weights)
+    packed, n_comp = _pack_target(means, log_weights, precision)
     sched = _schedule_table(step_size, noise_scale, n_steps)
     staged = 0
     if noise is not None:
@@ -891,7 +979,7 @@ def mixture_langevin_chain(
 
     kw = dict(
         inv_var=1.0 / float(scale) ** 2,
-        n_components=int(k),
+        n_components=n_comp,
         d=int(dim),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
     )
@@ -989,6 +1077,7 @@ def mixture_langevin_chain_trajectory(
     thin: int = 1,
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
     seed: int = 0,
     clamp: Optional[Tuple[float, float]] = None,
     noise: Optional[Array] = None,
@@ -1023,7 +1112,7 @@ def mixture_langevin_chain_trajectory(
 
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
-    packed = pack_mixture_params(means, log_weights)
+    packed, n_comp = _pack_target(means, log_weights, precision)
     # +1 staged copy for the DMA scratch tile
     block = _mixture_block(
         lanes, dim, block_chains,
@@ -1037,7 +1126,7 @@ def mixture_langevin_chain_trajectory(
         step_size=float(step_size),
         noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
         inv_var=1.0 / float(scale) ** 2,
-        n_components=int(k),
+        n_components=n_comp,
         d=int(dim),
         block=int(block),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,

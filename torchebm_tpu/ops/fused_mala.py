@@ -1,4 +1,4 @@
-r"""Pallas TPU kernel: whole-chain MALA on d-dim isotropic Gaussian mixtures.
+r"""Pallas TPU kernel: whole-chain MALA on mixtures / full-covariance Gaussians.
 
 Beyond-reference perf feature (the reference's kernel layer stops at
 unadjusted Langevin, ``torchebm/cuda/fused_langevin.py``; MALA itself is a
@@ -19,7 +19,13 @@ constant cancels in the ratio, so the kernel uses logp = −U + c):
     \alpha = \min(1, e^{\,\text{clip}(\log p(y) - \log p(x)
     + \log q(x|y) - \log q(y|x),\ \pm 50)})
 
-Layout and the injected-randomness CI path match the other chain kernels.
+Targets: d-dim isotropic Gaussian mixtures (``pack_mixture_params``) or a
+full-covariance Gaussian via ``precision=`` (``pack_gaussian_params``, d ≤ 32
+— the correlated-Gaussian ESS benchmark workload). The ``*_trajectory``
+variant DMAs every ``thin``-th post-MH state to an HBM-resident trajectory
+(see ``fused_langevin``), so ``return_trajectory=True`` R̂/ESS runs stay on
+the kernel. Layout and the injected-randomness CI path match the other chain
+kernels.
 """
 
 from __future__ import annotations
@@ -35,18 +41,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fused_langevin import (
     _mixture_block,
-    _mixture_grad_logp,
+    _pack_target,
+    _tile_grad_logp,
     _normal_tiles,
     _split_coords,
     _uniform_from_bits,
     chains_to_tiles,
-    pack_mixture_params,
     tiles_to_chains,
 )
 
 Array = jax.Array
 
-__all__ = ["mixture_mala_chain"]
+__all__ = ["mixture_mala_chain", "mixture_mala_chain_trajectory"]
 
 
 def _mala_transition(x, eps, u, means, *, step_size, inv_var, n_components, d):
@@ -54,9 +60,9 @@ def _mala_transition(x, eps, u, means, *, step_size, inv_var, n_components, d):
     eta = step_size
     noise_coef = math.sqrt(2.0 * eta)
     coords = _split_coords(x, d)
-    gx, lp_x = _mixture_grad_logp(coords, means, inv_var, n_components)
+    gx, lp_x = _tile_grad_logp(coords, means, inv_var, n_components, d)
     y = [coords[i] - eta * gx[i] + noise_coef * eps[i] for i in range(d)]
-    gy, lp_y = _mixture_grad_logp(y, means, inv_var, n_components)
+    gy, lp_y = _tile_grad_logp(y, means, inv_var, n_components, d)
 
     # log q(x|y) - log q(y|x): squared proposal residuals, accumulated per dim
     sq_xy = None  # ||x - y + eta*grad(y)||^2
@@ -124,6 +130,82 @@ def _mixture_mala_noise_kernel(x_ref, means_ref, noise_ref, unif_ref, out_ref,
     acc_ref[...] = acc * (1.0 / n_steps)
 
 
+def _mixture_mala_traj_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref,
+                              traj_ref, scratch_ref, sem_ref, *, n_steps, thin,
+                              step_size, inv_var, n_components, d, block):
+    """MALA chain emitting every ``thin``-th state to HBM (the R̂/ESS
+    workload; staging pattern as in
+    :func:`~torchebm_tpu.ops.fused_langevin._mixture_chain_traj_kernel`)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]
+    tile = (8, x_ref.shape[1])
+    col0 = pl.program_id(0) * block
+
+    def body(i, carry):
+        x, acc_sum = carry
+        eps = _normal_tiles(tile, d)
+        u = _uniform_from_bits(tile)
+        new_x, accept_prob = _mala_transition(
+            x, eps, u, means, step_size=step_size, inv_var=inv_var,
+            n_components=n_components, d=d,
+        )
+
+        @pl.when((i + 1) % thin == 0)
+        def _():
+            k = (i + 1) // thin - 1
+            scratch_ref[...] = new_x
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return new_x, acc_sum + accept_prob
+
+    x_f, acc = jax.lax.fori_loop(
+        0, n_steps, body, (x_ref[...], jnp.zeros(tile, jnp.float32))
+    )
+    out_ref[...] = x_f
+    acc_ref[...] = acc * (1.0 / n_steps)
+
+
+def _mixture_mala_traj_noise_kernel(x_ref, means_ref, noise_ref, unif_ref,
+                                    out_ref, acc_ref, traj_ref, scratch_ref,
+                                    sem_ref, *, n_steps, thin, step_size,
+                                    inv_var, n_components, d, block):
+    """Injected-randomness variant of :func:`_mixture_mala_traj_kernel`."""
+    means = means_ref[...]
+    tile = (8, x_ref.shape[1])
+    col0 = pl.program_id(0) * block
+
+    def body(t, carry):
+        x, acc_sum = carry
+        eps = _split_coords(noise_ref[pl.ds(t, 1)][0], d)
+        u = unif_ref[pl.ds(t, 1)][0]
+        new_x, accept_prob = _mala_transition(
+            x, eps, u, means, step_size=step_size, inv_var=inv_var,
+            n_components=n_components, d=d,
+        )
+
+        @pl.when((t + 1) % thin == 0)
+        def _():
+            k = (t + 1) // thin - 1
+            scratch_ref[...] = new_x
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return new_x, acc_sum + accept_prob
+
+    x_f, acc = jax.lax.fori_loop(
+        0, n_steps, body, (x_ref[...], jnp.zeros(tile, jnp.float32))
+    )
+    out_ref[...] = x_f
+    acc_ref[...] = acc * (1.0 / n_steps)
+
+
 def mixture_mala_chain(
     x0: Array,
     means: Array,
@@ -132,6 +214,7 @@ def mixture_mala_chain(
     *,
     scale: float = 1.0,
     log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
     seed: int = 0,
     noise: Optional[Array] = None,
     uniforms: Optional[Array] = None,
@@ -160,7 +243,7 @@ def mixture_mala_chain(
 
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
-    packed = pack_mixture_params(means, log_weights)
+    packed, n_comp = _pack_target(means, log_weights, precision)
     # injected-randomness CI path stages (n_steps, 8d+8, block) in VMEM too
     block = _mixture_block(
         lanes, dim, block_chains, n_staged=0 if noise is None else int(n_steps) + 1
@@ -170,7 +253,7 @@ def mixture_mala_chain(
         n_steps=int(n_steps),
         step_size=float(step_size),
         inv_var=1.0 / float(scale) ** 2,
-        n_components=int(k),
+        n_components=n_comp,
         d=int(dim),
     )
     rows = 8 * dim
@@ -226,6 +309,132 @@ def mixture_mala_chain(
         )(xt, packed, nt, ut)
     samples = tiles_to_chains(out, n_chains, dim)
     return samples, acc.reshape(padded)[:n_chains]
+
+
+def mixture_mala_chain_trajectory(
+    x0: Array,
+    means: Array,
+    n_steps: int,
+    step_size: float,
+    *,
+    thin: int = 1,
+    scale: float = 1.0,
+    log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
+    seed: int = 0,
+    noise: Optional[Array] = None,
+    uniforms: Optional[Array] = None,
+    block_chains: int = 1 << 20,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """Whole-run MALA recording every ``thin``-th state (the R̂/ESS workload).
+
+    Returns ``(traj, final, accept)``: ``traj`` of shape
+    ``(n_steps//thin, n_chains, d)`` (post-MH states after transitions
+    ``thin, 2·thin, …`` — the library loop's kept slots), ``final`` the state
+    after all transitions, ``accept`` the per-chain mean acceptance over the
+    whole run. ``precision=`` selects the full-covariance Gaussian target.
+    """
+    n_chains, dim = x0.shape
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            "mixture_mala_chain_trajectory unrolls K components x d dims "
+            f"in-kernel; K*d={k * dim}, d={dim} exceeds the supported size"
+        )
+    if thin < 1:
+        raise ValueError("thin must be >= 1")
+    n_kept = int(n_steps) // int(thin)
+    if n_kept < 1:
+        raise ValueError("n_steps // thin must be >= 1 for trajectory output")
+    if (noise is None) != (uniforms is None):
+        raise ValueError("noise and uniforms must be supplied together")
+
+    xt, padded = chains_to_tiles(x0)
+    lanes = padded // 8
+    packed, n_comp = _pack_target(means, log_weights, precision)
+    block = _mixture_block(
+        lanes, dim, block_chains,
+        n_staged=(0 if noise is None else int(n_steps) + 1) + 1,
+    )
+
+    kw = dict(
+        n_steps=int(n_steps),
+        thin=int(thin),
+        step_size=float(step_size),
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=n_comp,
+        d=int(dim),
+        block=int(block),
+    )
+    rows = 8 * dim
+    grid = (lanes // block,)
+    state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((8, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((8, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((n_kept, rows, lanes), jnp.float32),
+    )
+    out_specs = (state_spec, acc_spec, pl.BlockSpec(memory_space=pl.ANY))
+    scratch = [
+        pltpu.VMEM((rows, block), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if noise is None:
+        out, acc, traj = pl.pallas_call(
+            functools.partial(_mixture_mala_traj_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                state_spec,
+                means_spec,
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(jnp.asarray([seed], jnp.int32), xt, packed)
+    else:
+        if noise.shape != (n_steps, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_steps, n_chains, dim)}, got {noise.shape}"
+            )
+        if uniforms.shape != (n_steps, n_chains):
+            raise ValueError(
+                f"uniforms must have shape {(n_steps, n_chains)}, got {uniforms.shape}"
+            )
+        nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_steps)])
+        ut = jnp.stack(
+            [chains_to_tiles(uniforms[t][:, None])[0] for t in range(n_steps)]
+        )
+        out, acc, traj = pl.pallas_call(
+            functools.partial(_mixture_mala_traj_noise_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                state_spec,
+                means_spec,
+                pl.BlockSpec(
+                    (n_steps, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (n_steps, 8, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xt, packed, nt, ut)
+    traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
+    return (
+        traj_chains,
+        tiles_to_chains(out, n_chains, dim),
+        acc.reshape(padded)[:n_chains],
+    )
 
 
 def _selftest():  # pragma: no cover - exercised via `python -m`

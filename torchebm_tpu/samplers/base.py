@@ -79,6 +79,37 @@ def _upgrade_key(key: Array, impl: str = "auto") -> Array:
     return jax.random.wrap_key_data(data, impl=impl)
 
 
+def _concrete_scalar(p) -> bool:
+    """True for a Python number or a concrete (non-traced) 0-d array — the
+    forms the chain kernels can bake into a trace (e.g. the device scalar
+    step size returned by dual-averaging warmup)."""
+    if isinstance(p, (int, float)):
+        return True
+    return (
+        isinstance(p, jax.Array)
+        and not isinstance(p, jax.core.Tracer)
+        and jnp.ndim(p) == 0
+    )
+
+
+def _gaussian_target(model):
+    """``(mean[None, :], precision)`` when ``model`` is a concrete
+    full-covariance :class:`~torchebm_tpu.core.energies.GaussianEnergy` the
+    chain kernels support (d ≤ 32 — the d² precision terms unroll in-kernel),
+    else None. Shared fused-dispatch helper for Langevin/MALA/HMC."""
+    from ..core.energies import GaussianEnergy
+
+    if type(model) is not GaussianEnergy:
+        return None
+    if isinstance(model.mean, jax.core.Tracer) or isinstance(
+        model.cov_inv, jax.core.Tracer
+    ):
+        return None
+    if model.mean.ndim != 1 or model.mean.shape[-1] > 32:
+        return None
+    return model.mean[None, :], model.cov_inv
+
+
 @partial(
     jax.jit,
     static_argnames=(

@@ -23,14 +23,14 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.energies import Energy, GaussianMixtureEnergy
+from ..core.energies import Energy, GaussianEnergy, GaussianMixtureEnergy
 from ..core.schedulers import BaseScheduler, sched_init, sched_value
 from ..integrators import (
     BaseSymplecticIntegrator,
     LeapfrogIntegrator,
     resolve_integrator,
 )
-from .base import BaseSampler
+from .base import BaseSampler, _concrete_scalar, _gaussian_target
 
 Array = jax.Array
 
@@ -184,21 +184,23 @@ class HamiltonianMonteCarlo(BaseSampler):
         Same conservative stance as :class:`LangevinDynamics`: eager
         single-program TPU calls only, default leapfrog, unit or concrete
         scalar/diagonal mass, constant step size, no
-        trajectory/diagnostics/conditioning, d-dim isotropic
-        :class:`GaussianMixtureEnergy` with K·d ≤ 1024. ``fused="off"``
+        diagnostics/conditioning (thinned trajectories ride the DMA
+        trajectory kernels), d-dim isotropic
+        :class:`GaussianMixtureEnergy` with K·d ≤ 1024 or concrete
+        full-covariance :class:`GaussianEnergy` with d ≤ 32. ``fused="off"``
         disables; ``"force"`` skips the TPU-backend check (kernel-stub tests).
         """
         if self.fused == "off":
             return False
         if self.fused != "force" and jax.default_backend() != "tpu":
             return False
-        if return_trajectory or return_diagnostics or model_kwargs:
+        if return_diagnostics or model_kwargs:
             return False
         if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
             return False
         if type(self.integrator) is not LeapfrogIntegrator:
             return False
-        if not isinstance(self.step_size, (int, float)):
+        if not _concrete_scalar(self.step_size):
             return False
         if self.mass is not None:
             # scalar or (d,) diagonal concrete mass rides the kernel (the
@@ -207,18 +209,26 @@ class HamiltonianMonteCarlo(BaseSampler):
                 return False
             if jnp.ndim(self.mass) > 1:
                 return False
-        if type(self.model) is not GaussianMixtureEnergy:
+        if type(self.model) is GaussianEnergy:
+            gt = _gaussian_target(self.model)
+            if gt is None:
+                return False
+            d = gt[0].shape[-1]
+        elif type(self.model) is GaussianMixtureEnergy:
+            if isinstance(self.model.means, jax.core.Tracer):
+                return False
+            k, d = self.model.means.shape
+            if d > 64 or k * d > 1024:
+                return False
+        else:
             return False
-        if isinstance(self.model.means, jax.core.Tracer):
-            return False
-        k, d = self.model.means.shape
         if (
             self.mass is not None
             and jnp.ndim(self.mass) == 1
             and jnp.shape(self.mass)[0] != d
         ):
             return False
-        return d <= 64 and k * d <= 1024
+        return True
 
     def sample(
         self,
@@ -243,22 +253,47 @@ class HamiltonianMonteCarlo(BaseSampler):
 
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
-            if x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
-                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
-                samples, _ = ops.mixture_hmc_chain(
-                    x0,
-                    self.model.means,
-                    n_steps,
-                    float(self.step_size),
-                    self.n_leapfrog_steps,
+            interpret = self.fused == "force" and jax.default_backend() != "tpu"
+            if type(self.model) is GaussianEnergy:
+                means, precision = _gaussian_target(self.model)
+                target_kw = dict(precision=precision)
+            else:
+                means = self.model.means
+                target_kw = dict(
                     scale=float(self.model.scale),
                     log_weights=self.model.log_weights,
-                    mass=self.mass,
-                    seed=seed,
-                    interpret=self.fused == "force" and jax.default_backend() != "tpu",
                 )
-                return samples
-            # unsupported state shape: fall through to the scan path
+            if x0.ndim == 2 and x0.shape[-1] == means.shape[-1]:
+                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+                if return_trajectory:
+                    if n_steps // thin >= 1:
+                        traj, _, _ = ops.mixture_hmc_chain_trajectory(
+                            x0,
+                            means,
+                            n_steps,
+                            float(self.step_size),
+                            self.n_leapfrog_steps,
+                            thin=thin,
+                            mass=self.mass,
+                            seed=seed,
+                            interpret=interpret,
+                            **target_kw,
+                        )
+                        return jnp.moveaxis(traj, 0, 1)
+                else:
+                    samples, _ = ops.mixture_hmc_chain(
+                        x0,
+                        means,
+                        n_steps,
+                        float(self.step_size),
+                        self.n_leapfrog_steps,
+                        mass=self.mass,
+                        seed=seed,
+                        interpret=interpret,
+                        **target_kw,
+                    )
+                    return samples
+            # unsupported state shape / n_steps < thin: fall through to the scan
         return super().sample(
             key,
             x=x,

@@ -33,7 +33,7 @@ from ..integrators import (
     EulerMaruyamaIntegrator,
     resolve_integrator,
 )
-from .base import BaseSampler, _upgrade_key
+from .base import BaseSampler, _concrete_scalar, _gaussian_target, _upgrade_key
 
 Array = jax.Array
 
@@ -83,9 +83,10 @@ def _block_noise_impl(sampler, x0, key, n_steps, block, model_kwargs):
 
 
 def _sched_concrete(p) -> bool:
-    """True if a schedulable parameter is a constant or a scheduler whose
-    per-step table is concrete at dispatch time (no traced leaves)."""
-    if isinstance(p, (int, float)):
+    """True if a schedulable parameter is a constant (Python number or
+    concrete 0-d array — e.g. a warmup-adapted device scalar) or a scheduler
+    whose per-step table is concrete at dispatch time (no traced leaves)."""
+    if _concrete_scalar(p):
         return True
     if isinstance(p, BaseScheduler):
         return not any(
@@ -99,7 +100,7 @@ def _sched_table_arg(p, n_steps: int):
     """Chain-kernel argument form of a schedulable parameter: a Python float
     (constant — baked into the kernel trace) or the concrete ``(n_steps,)``
     per-step value table (staged into SMEM by the scheduled kernels)."""
-    if isinstance(p, (int, float)):
+    if _concrete_scalar(p):
         return float(p)
     return jax.vmap(p.value)(jnp.arange(n_steps))
 
@@ -164,26 +165,28 @@ class LangevinDynamics(BaseSampler):
         traces transparently), default Euler–Maruyama, constant OR scheduled
         step/noise (any :class:`BaseScheduler` with a concrete table — e.g. the
         Energy-Matching :class:`TemperatureScheduler` — rides the scheduled
-        kernels' SMEM tables), thinned trajectories for constant schedules
-        (every kept state DMA'd to HBM in-kernel), no
-        diagnostics/conditioning, and an
+        kernels' SMEM tables), thinned trajectories AND diagnostics for
+        constant schedules (every kept state DMA'd to HBM in-kernel;
+        mean/var/energy then computed from the kernel trajectory), no
+        conditioning, and an
         analytic energy the kernels know (:class:`DoubleWellEnergy`, d-dim
-        isotropic :class:`GaussianMixtureEnergy` with K·d ≤ 1024, isotropic
-        :class:`GaussianEnergy`). ``clamp`` is supported (folded into the
-        kernels). ``fused="off"`` disables; ``"force"`` skips the TPU-backend
-        check (kernel-stub tests).
+        isotropic :class:`GaussianMixtureEnergy` with K·d ≤ 1024, and any
+        concrete :class:`GaussianEnergy` — isotropic covariances ride the
+        1-component mixture kernel, full covariances with d ≤ 32 the
+        precision-packed Gaussian evaluator). ``clamp`` is supported (folded
+        into the kernels). ``fused="off"`` disables; ``"force"`` skips the
+        TPU-backend check (kernel-stub tests).
         """
         if self.fused == "off":
             return False
         if self.fused != "force" and jax.default_backend() != "tpu":
             return False
-        if return_diagnostics or model_kwargs:
+        if model_kwargs:
             return False
-        if return_trajectory and not (
-            isinstance(self.step_size, (int, float))
-            and isinstance(self.noise_scale, (int, float))
+        if (return_trajectory or return_diagnostics) and not (
+            _concrete_scalar(self.step_size) and _concrete_scalar(self.noise_scale)
         ):
-            return False  # trajectory kernels are constant-schedule only
+            return False  # trajectory/diagnostics kernels are constant-schedule only
         if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
             return False
         if type(self.integrator) is not EulerMaruyamaIntegrator:
@@ -202,8 +205,22 @@ class LangevinDynamics(BaseSampler):
             k, d = self.model.means.shape
             return d <= 64 and k * d <= 1024
         if type(self.model) is GaussianEnergy:
-            return self._isotropic_gaussian_scale() is not None
+            return (
+                self._isotropic_gaussian_scale() is not None
+                or _gaussian_target(self.model) is not None
+            )
         return False
+
+    def _fused_diagnostics(self, traj):
+        """Per-kept-slot diagnostics computed from the kernel trajectory.
+
+        Same keys/shapes as the scan loop's diagnostics channel
+        (``base.py::_sample_impl``): ``mean``/``var`` over chains per slot,
+        batch-mean ``energy``. Langevin has no extra diagnostics."""
+        mean = jnp.mean(traj, axis=1)
+        var = jnp.clip(jnp.var(traj, axis=1), 1e-10, 1e10)
+        energy = jax.vmap(lambda xx: jnp.mean(self.model.energy(xx)))(traj)
+        return {"mean": mean, "var": var, "energy": energy}
 
     def _isotropic_gaussian_scale(self):
         """σ if ``model`` is a concrete isotropic Gaussian (cov = σ²I), else None."""
@@ -244,10 +261,11 @@ class LangevinDynamics(BaseSampler):
             interpret = self.fused == "force" and jax.default_backend() != "tpu"
             ss = _sched_table_arg(self.step_size, n_steps)
             ns = _sched_table_arg(self.noise_scale, n_steps)
-            if return_trajectory:
+            if return_trajectory or return_diagnostics:
+                res = None
                 if n_steps // thin >= 1:
                     if type(self.model) is DoubleWellEnergy:
-                        traj, _ = ops.doublewell_langevin_chain_trajectory(
+                        res = ops.doublewell_langevin_chain_trajectory(
                             x0,
                             n_steps,
                             ss,
@@ -259,24 +277,37 @@ class LangevinDynamics(BaseSampler):
                             clamp=self.clamp,
                             interpret=interpret,
                         )
-                        return jnp.moveaxis(traj, 0, 1)
-                    if type(self.model) is GaussianEnergy:
+                    elif type(self.model) is GaussianEnergy:
                         if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
-                            traj, _ = ops.mixture_langevin_chain_trajectory(
-                                x0,
-                                self.model.mean[None, :],
-                                n_steps,
-                                ss,
-                                ns,
-                                thin=thin,
-                                scale=self._isotropic_gaussian_scale(),
-                                seed=seed,
-                                clamp=self.clamp,
-                                interpret=interpret,
-                            )
-                            return jnp.moveaxis(traj, 0, 1)
+                            iso = self._isotropic_gaussian_scale()
+                            if iso is not None:
+                                res = ops.mixture_langevin_chain_trajectory(
+                                    x0,
+                                    self.model.mean[None, :],
+                                    n_steps,
+                                    ss,
+                                    ns,
+                                    thin=thin,
+                                    scale=iso,
+                                    seed=seed,
+                                    clamp=self.clamp,
+                                    interpret=interpret,
+                                )
+                            else:
+                                res = ops.mixture_langevin_chain_trajectory(
+                                    x0,
+                                    self.model.mean[None, :],
+                                    n_steps,
+                                    ss,
+                                    ns,
+                                    thin=thin,
+                                    precision=self.model.cov_inv,
+                                    seed=seed,
+                                    clamp=self.clamp,
+                                    interpret=interpret,
+                                )
                     elif x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
-                        traj, _ = ops.mixture_langevin_chain_trajectory(
+                        res = ops.mixture_langevin_chain_trajectory(
                             x0,
                             self.model.means,
                             n_steps,
@@ -289,7 +320,12 @@ class LangevinDynamics(BaseSampler):
                             clamp=self.clamp,
                             interpret=interpret,
                         )
-                        return jnp.moveaxis(traj, 0, 1)
+                if res is not None:
+                    traj, final = res
+                    out = jnp.moveaxis(traj, 0, 1) if return_trajectory else final
+                    if not return_diagnostics:
+                        return out
+                    return out, self._fused_diagnostics(traj)
                 # unsupported shape / n_steps < thin: fall through to the scan
             elif type(self.model) is DoubleWellEnergy:
                 return ops.doublewell_langevin_chain(
@@ -305,13 +341,26 @@ class LangevinDynamics(BaseSampler):
                 )
             elif type(self.model) is GaussianEnergy:
                 if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
+                    iso = self._isotropic_gaussian_scale()
+                    if iso is not None:
+                        return ops.mixture_langevin_chain(
+                            x0,
+                            self.model.mean[None, :],
+                            n_steps,
+                            ss,
+                            ns,
+                            scale=iso,
+                            seed=seed,
+                            clamp=self.clamp,
+                            interpret=interpret,
+                        )
                     return ops.mixture_langevin_chain(
                         x0,
                         self.model.mean[None, :],
                         n_steps,
                         ss,
                         ns,
-                        scale=self._isotropic_gaussian_scale(),
+                        precision=self.model.cov_inv,
                         seed=seed,
                         clamp=self.clamp,
                         interpret=interpret,

@@ -25,9 +25,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.energies import Energy, GaussianMixtureEnergy
+from ..core.energies import Energy, GaussianEnergy, GaussianMixtureEnergy
 from ..core.schedulers import BaseScheduler, sched_value
-from .base import BaseSampler
+from .base import BaseSampler, _concrete_scalar, _gaussian_target
 
 Array = jax.Array
 
@@ -43,8 +43,9 @@ class MetropolisAdjustedLangevin(BaseSampler):
     acceptance rate near 0.574 (Roberts & Rosenthal optimal scaling).
 
     Eager TPU calls on concrete d-dim isotropic
-    :class:`~torchebm_tpu.core.energies.GaussianMixtureEnergy` targets
-    dispatch to the whole-chain Pallas kernel
+    :class:`~torchebm_tpu.core.energies.GaussianMixtureEnergy` targets and
+    concrete full-covariance :class:`~torchebm_tpu.core.energies.GaussianEnergy`
+    targets (d ≤ 32, precision-packed) dispatch to the whole-chain Pallas kernel
     (:func:`torchebm_tpu.ops.fused_mala.mixture_mala_chain`); ``fused``
     follows the same "auto"/"off"/"force" contract as
     :class:`~torchebm_tpu.samplers.langevin.LangevinDynamics`.
@@ -105,18 +106,21 @@ class MetropolisAdjustedLangevin(BaseSampler):
     def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs) -> bool:
         """Same conservative stance as LangevinDynamics._fusable: eager
         single-program TPU calls, constant step size, no
-        trajectory/diagnostics/conditioning, concrete d-dim isotropic mixture
-        with K·d ≤ 1024."""
+        diagnostics/conditioning (thinned trajectories ride the DMA
+        trajectory kernels), concrete d-dim isotropic mixture
+        with K·d ≤ 1024 or concrete full-covariance Gaussian with d ≤ 32."""
         if self.fused == "off":
             return False
         if self.fused != "force" and jax.default_backend() != "tpu":
             return False
-        if return_trajectory or return_diagnostics or model_kwargs:
+        if return_diagnostics or model_kwargs:
             return False
         if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
             return False
-        if not isinstance(self.step_size, (int, float)):
+        if not _concrete_scalar(self.step_size):
             return False
+        if type(self.model) is GaussianEnergy:
+            return _gaussian_target(self.model) is not None
         if type(self.model) is not GaussianMixtureEnergy:
             return False
         if isinstance(self.model.means, jax.core.Tracer):
@@ -142,20 +146,43 @@ class MetropolisAdjustedLangevin(BaseSampler):
 
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
-            if x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
-                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
-                samples, _ = ops.mixture_mala_chain(
-                    x0,
-                    self.model.means,
-                    n_steps,
-                    float(self.step_size),
+            interpret = self.fused == "force" and jax.default_backend() != "tpu"
+            if type(self.model) is GaussianEnergy:
+                means, precision = _gaussian_target(self.model)
+                target_kw = dict(precision=precision)
+            else:
+                means = self.model.means
+                target_kw = dict(
                     scale=float(self.model.scale),
                     log_weights=self.model.log_weights,
-                    seed=seed,
-                    interpret=self.fused == "force" and jax.default_backend() != "tpu",
                 )
-                return samples
-            # unsupported state shape: fall through to the scan path
+            if x0.ndim == 2 and x0.shape[-1] == means.shape[-1]:
+                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+                if return_trajectory:
+                    if n_steps // thin >= 1:
+                        traj, _, _ = ops.mixture_mala_chain_trajectory(
+                            x0,
+                            means,
+                            n_steps,
+                            float(self.step_size),
+                            thin=thin,
+                            seed=seed,
+                            interpret=interpret,
+                            **target_kw,
+                        )
+                        return jnp.moveaxis(traj, 0, 1)
+                else:
+                    samples, _ = ops.mixture_mala_chain(
+                        x0,
+                        means,
+                        n_steps,
+                        float(self.step_size),
+                        seed=seed,
+                        interpret=interpret,
+                        **target_kw,
+                    )
+                    return samples
+            # unsupported state shape / n_steps < thin: fall through to the scan
         return super().sample(
             key,
             x=x,
