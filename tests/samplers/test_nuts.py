@@ -164,3 +164,22 @@ def test_warmup_adapt_mass(key):
     tuned = nuts.replace(step_size=eps, mass=mass)
     out = tuned.sample(jax.random.fold_in(key, 1), x=x, n_steps=200)
     np.testing.assert_allclose(jnp.var(out, 0), jnp.array([1.0, 25.0]), rtol=0.3)
+
+
+def test_trailing_ones_closed_form():
+    """The popcount-based bit counter matches the Python reference for every
+    value the tree builder can produce (leaf indices and their complements,
+    including negatives from ``bitwise_not``)."""
+    from torchebm_tpu.samplers.nuts import _trailing_ones
+
+    def ref(n):
+        c = 0
+        while n & 1:
+            n >>= 1
+            c += 1
+        return c
+
+    vals = list(range(0, 4097)) + [~v for v in range(2, 4097)]
+    got = np.asarray(jax.vmap(_trailing_ones)(jnp.asarray(vals, jnp.int32)))
+    want = np.asarray([ref(v & 0xFFFFFFFF) if v >= 0 else ref(v + (1 << 32)) for v in vals])
+    np.testing.assert_array_equal(got, want)

@@ -44,18 +44,14 @@ __all__ = ["NoUTurnSampler"]
 
 
 def _trailing_ones(n: Array) -> Array:
-    """Number of trailing 1-bits of int32 ``n`` (bounded loop, jit-safe)."""
+    """Number of trailing 1-bits of int32 ``n``, closed form.
 
-    def body(state):
-        v, c = state
-        return v >> 1, c + 1
-
-    def cond(state):
-        v, _ = state
-        return (v & 1) == 1
-
-    _, count = jax.lax.while_loop(cond, body, (n, jnp.int32(0)))
-    return count
+    Trailing ones of ``n`` = trailing zeros of ``n+1`` =
+    ``popcount((m & -m) - 1)`` with ``m = n+1`` — one fused elementwise
+    expression instead of a per-leaf ``while_loop`` (which under vmap ran as
+    its own masked lockstep loop, several kernels per iteration)."""
+    m = n + 1
+    return jax.lax.population_count((m & -m) - 1)
 
 
 @struct.dataclass
@@ -155,42 +151,48 @@ class NoUTurnSampler(BaseSampler):
 
                 i = s["i"]
                 # push: an even leaf roots subtrees of sizes 2^1..2^c where
-                # c = trailing zeros of i (depth copies for i == 0). Guard
-                # i == 0 before the bit loop: ~0 = -1 has 32 trailing ones
-                # and (-1) >> 1 == -1 would never terminate the while_loop.
+                # c = trailing zeros of i (depth copies for i == 0). Every
+                # pushed slot stores the same (rr, cum) pair, so the whole
+                # push is ONE masked scatter per array (out-of-range indices
+                # dropped) instead of max_depth sequential .at[].set calls.
                 i_safe = jnp.where(i == 0, 2, i)
                 tz = _trailing_ones(jnp.bitwise_not(i_safe))  # trailing zeros
                 c = jnp.where(i == 0, depth, jnp.minimum(tz, depth))
                 c = jnp.where((i & 1) == 0, c, 0)
-                slots = s["p"] + jnp.arange(max_depth, dtype=jnp.int32)
-                push_mask = jnp.arange(max_depth, dtype=jnp.int32) < c
-                ckpt_r = s["ckpt_r"]
-                ckpt_cum = s["ckpt_cum"]
-                for j in range(max_depth):  # unrolled, max_depth is static
-                    ckpt_r = ckpt_r.at[slots[j]].set(
-                        jnp.where(push_mask[j], rr, ckpt_r[slots[j]])
-                    )
-                    ckpt_cum = ckpt_cum.at[slots[j]].set(
-                        jnp.where(push_mask[j], s["cum"], ckpt_cum[slots[j]])
-                    )
+                lanes = jnp.arange(max_depth, dtype=jnp.int32)
+                slots = s["p"] + lanes
+                push_idx = jnp.where(lanes < c, slots, max_depth)  # OOB → drop
+                ckpt = s["ckpt"].at[push_idx].set(
+                    jnp.broadcast_to(
+                        jnp.concatenate([rr, s["cum"]]), (max_depth, 2 * d)
+                    ),
+                    mode="drop",
+                )
                 p = s["p"] + c
 
                 cum = s["cum"] + rr
 
-                # check/pop: an odd leaf with t trailing ones closes t subtrees
+                # check/pop: an odd leaf with t trailing ones closes t
+                # subtrees. All max_depth candidate checkpoints are gathered
+                # at once and the U-turn dots batched over that axis.
                 t_ones = jnp.where((i & 1) == 1, _trailing_ones(i), 0)
-                turning = s["turning"]
-                for j in range(1, max_depth + 1):  # unrolled
-                    active = j <= t_ones
-                    slot = jnp.clip(p - j, 0, max_depth - 1)
-                    p_sum_sub = cum - ckpt_cum[slot]
-                    turn_j = is_turning(p_sum_sub, ckpt_r[slot], rr)
-                    turning = jnp.logical_or(turning, jnp.logical_and(active, turn_j))
+                js = lanes + 1  # 1..max_depth
+                slot = jnp.clip(p - js, 0, max_depth - 1)
+                popped = ckpt[slot]  # (max_depth, 2d): [r_left | cum_left]
+                r_l = popped[:, :d]
+                p_sub = cum[None, :] - popped[:, d:]
+                turn_j = jnp.logical_or(
+                    jnp.sum(p_sub * (r_l / m[None, :]), axis=-1) < 0.0,
+                    jnp.sum(p_sub * (rr / m)[None, :], axis=-1) < 0.0,
+                )
+                turning = jnp.logical_or(
+                    s["turning"], jnp.any(jnp.logical_and(js <= t_ones, turn_j))
+                )
                 p = p - t_ones
 
                 return {
                     "x": xx, "r": rr, "g": gg, "cum": cum,
-                    "ckpt_r": ckpt_r, "ckpt_cum": ckpt_cum, "p": p,
+                    "ckpt": ckpt, "p": p,
                     "x_prop": x_prop, "logw": logw_new,
                     "turning": turning, "diverging": diverging,
                     "acc": acc, "i": i + 1,
@@ -199,8 +201,7 @@ class NoUTurnSampler(BaseSampler):
             x0s, r0s, g0s = z_start
             init = {
                 "x": x0s, "r": r0s, "g": g0s, "cum": jnp.zeros_like(x0s),
-                "ckpt_r": jnp.zeros((max_depth, d), x0s.dtype),
-                "ckpt_cum": jnp.zeros((max_depth, d), x0s.dtype),
+                "ckpt": jnp.zeros((max_depth + 1, 2 * d), x0s.dtype),
                 "p": jnp.int32(0),
                 "x_prop": x0s, "logw": jnp.float32(-jnp.inf),
                 "turning": jnp.bool_(False), "diverging": jnp.bool_(False),
