@@ -141,7 +141,10 @@ def bench_hmc_ess(iters: int) -> dict:
     def run(n, i):
         return tuned.sample(jax.random.fold_in(key, i), x=x0, n_steps=n)
 
-    per_draw = _slope_time(run, steps, 8 * steps, iters)
+    # The fused whole-run kernel does ~0.2 us/draw — the high point must be
+    # large enough that device time (not the ~0.5 s tunnel variance) sets the
+    # slope, so spread the two work counts until the extra work costs ~1 s.
+    per_draw = _slope_time(run, steps, 4096 * steps, iters)
     traj = tuned.sample(key, x=x0, n_steps=steps, return_trajectory=True)
     ess = float(jnp.min(summarize_chains(traj)["ess"]))
     return {"ess_per_s": ess / (steps * per_draw), "min_ess": ess,
@@ -179,7 +182,7 @@ def bench_nuts_ess(iters: int) -> dict:
     def run(n, i):
         return tuned.sample(jax.random.fold_in(key, i), x=x0, n_steps=n)
 
-    per_draw = _slope_time(run, steps, 4 * steps, iters)
+    per_draw = _slope_time(run, steps, 8 * steps, iters)
     traj, diag = tuned.sample(
         key, x=x0, n_steps=steps, return_trajectory=True, return_diagnostics=True
     )
@@ -216,7 +219,9 @@ def bench_mala_ess(iters: int) -> dict:
     def run(n, i):
         return mala.sample(jax.random.fold_in(key, i), x=x0, n_steps=n)
 
-    per_draw = _slope_time(run, steps, 8 * steps, iters)
+    # ~0.1 us/draw fused: spread the work counts 8192x so device time
+    # dominates the tunnel variance in the slope (see hmc_ess).
+    per_draw = _slope_time(run, steps, 8192 * steps, iters)
     traj = mala.sample(key, x=x0, n_steps=steps, return_trajectory=True)
     ess = float(jnp.min(summarize_chains(traj)["ess"]))
     return {"ess_per_s": ess / (steps * per_draw), "min_ess": ess,
