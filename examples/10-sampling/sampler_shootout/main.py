@@ -18,7 +18,6 @@ smoke = _common.setup()
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from torchebm_tpu.core import GaussianEnergy
 from torchebm_tpu.samplers import (
@@ -38,7 +37,10 @@ def timed(fn):
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     out = fn()
-    np.asarray(out[0] if isinstance(out, tuple) else out)
+    # Fence with a scalar fetch: a full-trajectory np.asarray here would time
+    # the ~20 MB/s host tunnel, not the chip (see CLAUDE.md tunnel notes).
+    arr = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(arr))
     return out, time.perf_counter() - t0
 
 

@@ -161,7 +161,11 @@ class NoUTurnSampler(BaseSampler):
                 c = jnp.where((i & 1) == 0, c, 0)
                 lanes = jnp.arange(max_depth, dtype=jnp.int32)
                 slots = s["p"] + lanes
-                push_idx = jnp.where(lanes < c, slots, max_depth)  # OOB → drop
+                # Masked lanes target the extra (max_depth-th) row — a
+                # write-only scratch row that pops never read (pop slots are
+                # clipped to max_depth-1); mode="drop" only guards genuinely
+                # out-of-range slots when p + lane overflows the array.
+                push_idx = jnp.where(lanes < c, slots, max_depth)
                 ckpt = s["ckpt"].at[push_idx].set(
                     jnp.broadcast_to(
                         jnp.concatenate([rr, s["cum"]]), (max_depth, 2 * d)
