@@ -121,6 +121,60 @@ def bench_langevin(iters: int) -> dict:
             "config": f"{chains} chains, 8gaussians, slope over 100k->3M steps"}
 
 
+def bench_annealed_traj(iters: int) -> dict:
+    """Round-4 composition: scheduled SMEM table + trajectory DMA in ONE
+    kernel. The Energy-Matching R̂/ESS workload — a ``TemperatureScheduler``
+    noise ramp with the trajectory recorded — previously fell back to the
+    scan; now it rides the fused path (``samplers/langevin.py::_fusable``).
+    Reports fused vs scan per-step time on the identical annealed workload."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchebm_tpu.core import GaussianMixtureEnergy, TemperatureScheduler
+    from torchebm_tpu.samplers import LangevinDynamics
+
+    chains, thin = 10_000, 8
+    key = jax.random.PRNGKey(0)
+    mix = GaussianMixtureEnergy.eight_gaussians()
+
+    def make(fused):
+        return LangevinDynamics(
+            mix,
+            step_size=0.05,
+            noise_scale=TemperatureScheduler(
+                epsilon_max=1.0, tau_star=0.2, n_steps=100_000
+            ),
+            fused=fused,
+        )
+
+    def run(sampler):
+        def go(n, i):
+            traj = sampler.sample(
+                jax.random.fold_in(key, i),
+                dim=2,
+                n_samples=chains,
+                n_steps=n,
+                thin=thin,
+                return_trajectory=True,
+            )
+            return jnp.sum(traj[:, -1])  # scalar fence: never fetch the traj
+
+        return go
+
+    per_fused = _slope_time(run(make("auto")), 2_000, 100_000, iters)
+    per_scan = _slope_time(run(make("off")), 2_000, 20_000, iters)
+    return {
+        "fused_per_step_s": per_fused,
+        "scan_per_step_s": per_scan,
+        "fused_speedup": per_scan / per_fused,
+        "updates_per_s": chains / per_fused,
+        "config": (
+            f"{chains} chains, 8gaussians, TemperatureScheduler noise ramp, "
+            f"trajectory thin={thin}"
+        ),
+    }
+
+
 def bench_hmc_ess(iters: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -456,6 +510,7 @@ def bench_flow(iters: int) -> dict:
 
 BENCHES = {
     "langevin_8gaussians": bench_langevin,
+    "annealed_traj": bench_annealed_traj,
     "hmc_ess": bench_hmc_ess,
     "nuts_ess": bench_nuts_ess,
     "mala_ess": bench_mala_ess,

@@ -31,6 +31,6 @@ def test_benchmark(spec, scale, bench_record):
 
     thunk = spec.build(scale)
     stats = benchmark_fn(thunk, warmup=2, iters=5)
-    stats["items_per_s"] = scale.batch * scale.steps / stats["median_s"]
+    stats["items_per_s"] = spec.work_items(scale) / stats["median_s"]
     bench_record(spec.name, scale.name, stats)
     assert stats["median_s"] > 0

@@ -25,6 +25,7 @@ from torchebm_tpu.samplers import (
     MetropolisAdjustedLangevin,
     NoUTurnSampler,
     summarize_chains,
+    tune_trajectory_length,
 )
 
 
@@ -64,21 +65,26 @@ def main():
             return_trajectory=True, return_diagnostics=True,
         )
     )
-    depth = float(jnp.mean(diag["tree_depth"]))
     rows.append(("NUTS", eps_nuts, min_ess(traj), dt))
 
-    # --- HMC at the NUTS-suggested trajectory length
-    n_leap = max(2, int(round(2.0 ** depth)))
-    hmc = HamiltonianMonteCarlo(
-        energy, step_size=0.2, n_leapfrog_steps=n_leap, dual_averaging=True
+    # --- HMC at the NUTS-suggested trajectory length: the library's turnkey
+    # handoff (pilot NUTS -> mean tree depth -> HMC warmup at L=2^depth)
+    tuning = tune_trajectory_length(
+        jax.random.fold_in(key, 10), energy, dim=2, n_samples=chains,
+        n_warmup=_common.n(200, 30), n_pilot=_common.n(100, 20),
+        max_tree_depth=6,
     )
-    xh, eps_hmc = hmc.warmup(key, dim=2, n_warmup=_common.n(200, 30), n_samples=chains)
+    depth, n_leap = tuning.mean_tree_depth, tuning.n_leapfrog
+    hmc = HamiltonianMonteCarlo(
+        energy, step_size=tuning.step_size, n_leapfrog_steps=n_leap
+    )
     traj_h, dt_h = timed(
-        lambda: hmc.replace(step_size=eps_hmc).sample(
-            jax.random.fold_in(key, 2), x=xh, n_steps=draws, return_trajectory=True
+        lambda: hmc.sample(
+            jax.random.fold_in(key, 2), x=tuning.x, n_steps=draws,
+            return_trajectory=True,
         )
     )
-    rows.append((f"HMC(L={n_leap})", eps_hmc, min_ess(traj_h), dt_h))
+    rows.append((f"HMC(L={n_leap})", float(tuning.step_size), min_ess(traj_h), dt_h))
 
     # --- MALA: pilot-tune toward the 0.574 optimal-scaling acceptance rate
     best, best_gap = 0.25, 1.0

@@ -304,6 +304,96 @@ def test_mixture_trajectory_noise_parity(key, d, k, thin):
     np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=1e-5)
 
 
+@pytest.mark.parametrize("thin", [1, 3])
+def test_doublewell_sched_trajectory_noise_parity(key, thin):
+    """Round-4: the SMEM schedule table and the trajectory DMA compose —
+    an annealed chain with trajectory recording must match the plain-jnp
+    loop at every kept slot."""
+    from torchebm_tpu.ops import doublewell_langevin_chain_trajectory
+
+    n_steps, shape = 11, (21, 2)
+    bh, b = 2.0, 1.0
+    hs = jnp.linspace(0.05, 0.01, n_steps)
+    nss = jnp.linspace(0.2, 1.0, n_steps)
+    x0 = jax.random.normal(key, shape)
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, *shape))
+
+    traj, final = doublewell_langevin_chain_trajectory(
+        x0, n_steps, hs, nss, thin=thin, barrier_height=bh, b=b,
+        noise=noise, interpret=INTERPRET,
+    )
+
+    x, kept = x0, []
+    for t in range(n_steps):
+        grad = 4.0 * bh * x * (x * x - b * b)
+        x = x - hs[t] * grad + nss[t] * jnp.sqrt(2.0 * hs[t]) * noise[t]
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (n_steps // thin, *shape)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("d,k,thin", [(2, 4, 2)])
+def test_mixture_sched_trajectory_noise_parity(key, d, k, thin):
+    from torchebm_tpu.ops import mixture_langevin_chain_trajectory
+
+    n, n_steps = 37, 9
+    scale = 0.7
+    hs = jnp.linspace(0.08, 0.02, n_steps)
+    nss = jnp.linspace(0.0, 1.0, n_steps)  # TemperatureScheduler-like ramp
+    means = 3.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    logw = jax.nn.log_softmax(jax.random.normal(jax.random.fold_in(key, 3), (k,)))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+
+    traj, final = mixture_langevin_chain_trajectory(
+        x0, means, n_steps, hs, nss, thin=thin, scale=scale, log_weights=logw,
+        noise=noise, interpret=INTERPRET,
+    )
+
+    inv_var = 1.0 / scale**2
+    x, kept = x0, []
+    for t in range(n_steps):
+        grad, _ = _mix_grad_logp(x, means, logw, inv_var)
+        x = x - hs[t] * grad + nss[t] * jnp.sqrt(2.0 * hs[t]) * noise[t]
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (n_steps // thin, n, d)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=1e-5)
+
+
+def test_sched_trajectory_chunked_parity(key, monkeypatch):
+    """Chunked scheduled-trajectory chains: kept slots line up across
+    launches (meta [step0, kept0] plumbing), including chunks that keep
+    nothing (thin > chunk length exercises the plain-advance branch)."""
+    import torchebm_tpu.ops.fused_langevin as fl
+    from torchebm_tpu.ops import mixture_langevin_chain_trajectory
+
+    monkeypatch.setattr(fl, "_SCHED_CHUNK", 2)
+    n, d, k, n_steps, thin = 21, 2, 3, 10, 5  # kept at steps 5, 10 only
+    hs = jnp.linspace(0.08, 0.02, n_steps)
+    means = 2.0 * jax.random.normal(jax.random.fold_in(key, 2), (k, d))
+    x0 = jax.random.normal(key, (n, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 4), (n_steps, n, d))
+
+    traj, final = mixture_langevin_chain_trajectory(
+        x0, means, n_steps, hs, 0.9, thin=thin, noise=noise, interpret=INTERPRET
+    )
+
+    logw = jnp.full((k,), -math.log(k))
+    x, kept = x0, []
+    for t in range(n_steps):
+        grad, _ = _mix_grad_logp(x, means, logw, 1.0)
+        x = x - hs[t] * grad + 0.9 * jnp.sqrt(2.0 * hs[t]) * noise[t]
+        if (t + 1) % thin == 0:
+            kept.append(x)
+    assert traj.shape == (2, n, d)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(jnp.stack(kept)), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final), np.asarray(x), atol=1e-5)
+
+
 def test_trajectory_thin_guard(key):
     from torchebm_tpu.ops import doublewell_langevin_chain_trajectory
 

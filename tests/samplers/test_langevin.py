@@ -289,21 +289,24 @@ class TestFusedDispatch:
         assert calls == [((16, 4), 9, 3)]
         assert out.shape == (16, 3, 4)
 
-    def test_scheduled_trajectory_falls_back(self, key, monkeypatch):
-        """Scheduled step/noise + trajectory uses the scan path (the traj
-        kernels are constant-schedule only)."""
+    def test_scheduled_trajectory_dispatches_fused(self, key, monkeypatch):
+        """Round-4: scheduled step/noise + trajectory rides the trajectory
+        kernel with the concrete (n_steps,) schedule table forwarded — the
+        SMEM schedule and trajectory DMA compose (parity pinned in
+        tests/ops/test_chain_parity.py::test_*_sched_trajectory_*)."""
         import torchebm_tpu.ops.fused_langevin as fl
 
-        def boom(*a, **k):  # pragma: no cover
-            raise AssertionError("scheduled trajectory must use the scan path")
+        calls = []
 
-        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", boom)
-        monkeypatch.setattr(fl, "doublewell_langevin_chain", boom)
-        sampler = LangevinDynamics(
-            DoubleWellEnergy(), step_size=CosineScheduler(0.02, 0.005, 10),
-            fused="force",
-        )
+        def stub(x0, n_steps, step_size, noise_scale, *, thin, **kw):
+            calls.append((x0.shape, jnp.shape(step_size), noise_scale, thin))
+            return jnp.zeros((n_steps // thin, *x0.shape)), x0
+
+        monkeypatch.setattr(fl, "doublewell_langevin_chain_trajectory", stub)
+        sched = CosineScheduler(0.02, 0.005, 10)
+        sampler = LangevinDynamics(DoubleWellEnergy(), step_size=sched, fused="force")
         out = sampler.sample(key, dim=2, n_samples=8, n_steps=10, return_trajectory=True)
+        assert calls == [((8, 2), (10,), 1.0, 1)]
         assert out.shape == (8, 10, 2)
 
     def test_traced_calls_fall_back(self, key, monkeypatch):

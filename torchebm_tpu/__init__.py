@@ -110,6 +110,8 @@ _LAZY_SYMBOLS = {
     "FlowSampler": "samplers",
     "PredictionType": "samplers",
     "ParallelTemperingLangevin": "samplers",
+    "TrajectoryTuning": "samplers",
+    "tune_trajectory_length": "samplers",
     # losses
     "ContrastiveDivergence": "losses",
     "ParallelTemperingCD": "losses",

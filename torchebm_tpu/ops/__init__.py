@@ -16,8 +16,10 @@ from .fused_langevin import (
     mixture_langevin_chain,
     mixture_langevin_chain_trajectory,
 )
+from .fused_sinkhorn import sinkhorn_log_fused
 
 __all__ = [
+    "sinkhorn_log_fused",
     "fused_langevin_step",
     "doublewell_langevin_chain",
     "doublewell_langevin_chain_trajectory",

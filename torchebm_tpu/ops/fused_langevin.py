@@ -605,11 +605,86 @@ def _doublewell_chain_traj_noise_kernel(x_ref, noise_ref, out_ref, traj_ref,
     out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
 
 
+def _doublewell_chain_traj_sched_kernel(seed_ref, sched_ref, x_ref, out_ref,
+                                        traj_ref, scratch_ref, sem_ref, *,
+                                        n_steps, thin, barrier_height, b,
+                                        block_rows, clamp):
+    """Scheduled + trajectory composition: per-step ``[η_t, noise_coef_t]``
+    from SMEM *and* every ``thin``-th state DMA'd to HBM — the annealed
+    R̂/ESS workload (e.g. a ``TemperatureScheduler`` sweep with
+    ``return_trajectory=True``) stays on the whole-chain kernel.
+
+    ``seed_ref`` carries ``[seed, step0, kept0]``: chunked chains pass their
+    global step offset and first kept-slot index so kept positions line up
+    across launches without per-chunk recompilation.
+    """
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    step0 = seed_ref[1]
+    kept0 = seed_ref[2]
+    row0 = pl.program_id(0) * block_rows
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = _normal_from_bits(x.shape)
+        xn = _clip(x - sched_ref[0, i] * grad + sched_ref[1, i] * eps, clamp)
+        g = step0 + i + 1
+
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1 - kept0
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, pl.ds(row0, block_rows), :], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _doublewell_chain_traj_sched_noise_kernel(meta_ref, sched_ref, x_ref,
+                                              noise_ref, out_ref, traj_ref,
+                                              scratch_ref, sem_ref, *, n_steps,
+                                              thin, barrier_height, b,
+                                              block_rows, clamp):
+    """Injected-noise variant of :func:`_doublewell_chain_traj_sched_kernel`
+    (exact-parity CI path); ``meta_ref`` = ``[step0, kept0]``."""
+    step0 = meta_ref[0]
+    kept0 = meta_ref[1]
+    row0 = pl.program_id(0) * block_rows
+    b2 = b * b
+    coef = 4.0 * barrier_height
+
+    def body(i, x):
+        grad = coef * x * (x * x - b2)
+        eps = noise_ref[pl.ds(i, 1)][0]
+        xn = _clip(x - sched_ref[0, i] * grad + sched_ref[1, i] * eps, clamp)
+        g = step0 + i + 1
+
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1 - kept0
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, pl.ds(row0, block_rows), :], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
 def doublewell_langevin_chain_trajectory(
     x0: Array,
     n_steps: int,
-    step_size: float,
-    noise_scale: float = 1.0,
+    step_size: Union[float, Array],
+    noise_scale: Union[float, Array] = 1.0,
     *,
     thin: int = 1,
     barrier_height: float = 2.0,
@@ -620,12 +695,15 @@ def doublewell_langevin_chain_trajectory(
     block_rows: int = 256,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
-    """Double-well chain recording every ``thin``-th state (constant schedule).
+    """Double-well chain recording every ``thin``-th state.
 
     Returns ``(traj, final)``: ``traj`` has shape ``(n_steps//thin,
     *x0.shape)`` (kept slots match the library loop — states after steps
     ``thin, 2·thin, …``), ``final`` is the state after all ``n_steps`` steps
     (trailing ``n_steps % thin`` steps execute but are not recorded).
+    ``step_size``/``noise_scale`` may each be a ``(n_steps,)`` per-step
+    schedule — the SMEM schedule table and the trajectory DMA compose, so
+    annealed R̂/ESS workloads stay on the kernel (see module docstring).
     """
     if thin < 1:
         raise ValueError("thin must be >= 1")
@@ -638,8 +716,10 @@ def doublewell_langevin_chain_trajectory(
     rows = _round_up(max(1, (n + _LANE - 1) // _LANE), 8)
     padded = rows * _LANE
     flat = jnp.pad(flat, (0, padded - n)).reshape(rows, _LANE)
+    sched = _schedule_table(step_size, noise_scale, n_steps)
     if noise is not None:
-        budget_rows = max((4 << 20) // (_LANE * 4 * (7 + int(n_steps))), 8)
+        staged = int(n_steps) if sched is None else min(int(n_steps), _SCHED_CHUNK)
+        budget_rows = max((4 << 20) // (_LANE * 4 * (7 + staged)), 8)
         block_rows = min(block_rows, budget_rows)
     block_rows = min(block_rows, rows)
     while rows % block_rows:
@@ -647,57 +727,153 @@ def doublewell_langevin_chain_trajectory(
     block_rows = max(block_rows, 8) if rows % 8 == 0 else rows
 
     kw = dict(
-        n_steps=int(n_steps),
         thin=int(thin),
-        step_size=float(step_size),
-        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
         barrier_height=float(barrier_height),
         b=float(b),
         block_rows=int(block_rows),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
     )
     grid = (rows // block_rows,)
-    out_shapes = (
-        jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
-        jax.ShapeDtypeStruct((n_kept, rows, _LANE), jnp.float32),
-    )
     state_spec = pl.BlockSpec((block_rows, _LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_specs = (state_spec, pl.BlockSpec(memory_space=pl.ANY))
     scratch = [
         pltpu.VMEM((block_rows, _LANE), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
-    if noise is None:
-        final, traj = pl.pallas_call(
-            functools.partial(_doublewell_chain_traj_kernel, **kw),
-            out_shape=out_shapes,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), state_spec],
-            out_specs=out_specs,
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(jnp.asarray([seed], jnp.int32), flat)
-    else:
-        if noise.shape != (n_steps, *orig_shape):
-            raise ValueError(
-                f"noise must have shape {(n_steps, *orig_shape)}, got {noise.shape}"
-            )
+    if noise is not None and noise.shape != (n_steps, *orig_shape):
+        raise ValueError(
+            f"noise must have shape {(n_steps, *orig_shape)}, got {noise.shape}"
+        )
+
+    def out_shapes(kept):
+        return (
+            jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+            jax.ShapeDtypeStruct((kept, rows, _LANE), jnp.float32),
+        )
+
+    out_specs = (state_spec, pl.BlockSpec(memory_space=pl.ANY))
+    if noise is not None:
         npad = jnp.pad(noise.reshape(n_steps, -1), ((0, 0), (0, padded - n)))
         npad = npad.reshape(n_steps, rows, _LANE)
-        final, traj = pl.pallas_call(
-            functools.partial(_doublewell_chain_traj_noise_kernel, **kw),
-            out_shape=out_shapes,
-            grid=grid,
-            in_specs=[
-                state_spec,
-                pl.BlockSpec(
-                    (n_steps, block_rows, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=out_specs,
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(flat, npad)
+
+    def noise_spec(steps):
+        return pl.BlockSpec(
+            (steps, block_rows, _LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+
+    if sched is None:
+        ckw = dict(
+            n_steps=int(n_steps),
+            step_size=float(step_size),
+            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+            **kw,
+        )
+        if noise is None:
+            final, traj = pl.pallas_call(
+                functools.partial(_doublewell_chain_traj_kernel, **ckw),
+                out_shape=out_shapes(n_kept),
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), state_spec],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(jnp.asarray([seed], jnp.int32), flat)
+        else:
+            final, traj = pl.pallas_call(
+                functools.partial(_doublewell_chain_traj_noise_kernel, **ckw),
+                out_shape=out_shapes(n_kept),
+                grid=grid,
+                in_specs=[state_spec, noise_spec(int(n_steps))],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(flat, npad)
+    else:
+        final = flat
+        parts = []
+        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+            kept_c = s1 // int(thin) - s0 // int(thin)
+            if kept_c == 0:
+                # no kept slot in this chunk: plain scheduled advance
+                final = pl.pallas_call(
+                    functools.partial(
+                        _doublewell_chain_sched_kernel,
+                        n_steps=s1 - s0,
+                        barrier_height=kw["barrier_height"],
+                        b=kw["b"],
+                        clamp=kw["clamp"],
+                    )
+                    if noise is None
+                    else functools.partial(
+                        _doublewell_chain_sched_noise_kernel,
+                        n_steps=s1 - s0,
+                        barrier_height=kw["barrier_height"],
+                        b=kw["b"],
+                        clamp=kw["clamp"],
+                    ),
+                    out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+                    grid=grid,
+                    in_specs=(
+                        [
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            state_spec,
+                        ]
+                        if noise is None
+                        else [
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            state_spec,
+                            noise_spec(s1 - s0),
+                        ]
+                    ),
+                    out_specs=state_spec,
+                    interpret=interpret,
+                )(
+                    *(
+                        (jnp.asarray([seed], jnp.int32) + c * grid[0], sched[:, s0:s1], final)
+                        if noise is None
+                        else (sched[:, s0:s1], final, npad[s0:s1])
+                    )
+                )
+                continue
+            ckw = dict(n_steps=s1 - s0, **kw)
+            if noise is None:
+                meta = jnp.concatenate(
+                    [
+                        jnp.asarray([seed], jnp.int32) + c * grid[0],
+                        jnp.asarray([s0, s0 // int(thin)], jnp.int32),
+                    ]
+                )
+                final, traj_c = pl.pallas_call(
+                    functools.partial(_doublewell_chain_traj_sched_kernel, **ckw),
+                    out_shape=out_shapes(kept_c),
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                    ],
+                    out_specs=out_specs,
+                    scratch_shapes=scratch,
+                    interpret=interpret,
+                )(meta, sched[:, s0:s1], final)
+            else:
+                meta = jnp.asarray([s0, s0 // int(thin)], jnp.int32)
+                final, traj_c = pl.pallas_call(
+                    functools.partial(_doublewell_chain_traj_sched_noise_kernel, **ckw),
+                    out_shape=out_shapes(kept_c),
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                        noise_spec(s1 - s0),
+                    ],
+                    out_specs=out_specs,
+                    scratch_shapes=scratch,
+                    interpret=interpret,
+                )(meta, sched[:, s0:s1], final, npad[s0:s1])
+            parts.append(traj_c)
+        traj = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     traj_out = traj.reshape(n_kept, -1)[:, :n].reshape(n_kept, *orig_shape)
     return traj_out, final.reshape(-1)[:n].reshape(orig_shape)
 
@@ -857,6 +1033,84 @@ def _mixture_chain_traj_noise_kernel(x_ref, means_ref, noise_ref, out_ref,
         @pl.when((i + 1) % thin == 0)
         def _():
             k = (i + 1) // thin - 1
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_traj_sched_kernel(seed_ref, sched_ref, x_ref, means_ref,
+                                     out_ref, traj_ref, scratch_ref, sem_ref,
+                                     *, n_steps, thin, inv_var, n_components,
+                                     d, block, clamp):
+    """Scheduled + trajectory composition for the mixture chain: per-step
+    ``[η_t, noise_coef_t]`` from SMEM *and* every ``thin``-th state DMA'd to
+    HBM — the Energy-Matching annealed R̂/ESS workload
+    (``TemperatureScheduler`` + ``return_trajectory``) in one kernel.
+    ``seed_ref`` carries ``[seed, step0, kept0]`` (see the double-well
+    variant)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    step0 = seed_ref[1]
+    kept0 = seed_ref[2]
+    means = means_ref[...]
+    col0 = pl.program_id(0) * block
+
+    def body(i, x):
+        h = sched_ref[0, i]
+        nc = sched_ref[1, i]
+        coords = _split_coords(x, d)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
+        eps = _normal_tiles(coords[0].shape, d)
+        new = [_clip(coords[j] - h * grads[j] + nc * eps[j], clamp) for j in range(d)]
+        xn = jnp.concatenate(new, axis=0)
+        g = step0 + i + 1
+
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1 - kept0
+            scratch_ref[...] = xn
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+        return xn
+
+    out_ref[...] = jax.lax.fori_loop(0, n_steps, body, x_ref[...])
+
+
+def _mixture_chain_traj_sched_noise_kernel(meta_ref, sched_ref, x_ref,
+                                           means_ref, noise_ref, out_ref,
+                                           traj_ref, scratch_ref, sem_ref, *,
+                                           n_steps, thin, inv_var,
+                                           n_components, d, block, clamp):
+    """Injected-noise variant of :func:`_mixture_chain_traj_sched_kernel`
+    (exact-parity CI path); ``meta_ref`` = ``[step0, kept0]``."""
+    step0 = meta_ref[0]
+    kept0 = meta_ref[1]
+    means = means_ref[...]
+    col0 = pl.program_id(0) * block
+
+    def body(i, x):
+        h = sched_ref[0, i]
+        nc = sched_ref[1, i]
+        coords = _split_coords(x, d)
+        grads, _ = _tile_grad_logp(coords, means, inv_var, n_components, d)
+        eps = _split_coords(noise_ref[pl.ds(i, 1)][0], d)
+        new = [_clip(coords[j] - h * grads[j] + nc * eps[j], clamp) for j in range(d)]
+        xn = jnp.concatenate(new, axis=0)
+        g = step0 + i + 1
+
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1 - kept0
             scratch_ref[...] = xn
             dma = pltpu.make_async_copy(
                 scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
@@ -1071,8 +1325,8 @@ def mixture_langevin_chain_trajectory(
     x0: Array,
     means: Array,
     n_steps: int,
-    step_size: float,
-    noise_scale: float = 1.0,
+    step_size: Union[float, Array],
+    noise_scale: Union[float, Array] = 1.0,
     *,
     thin: int = 1,
     scale: float = 1.0,
@@ -1086,13 +1340,17 @@ def mixture_langevin_chain_trajectory(
 ) -> Tuple[Array, Array]:
     """Whole-chain mixture Langevin recording every ``thin``-th state.
 
-    Same chain as :func:`mixture_langevin_chain` (constant step/noise), but
-    every ``thin``-th state is DMA'd from VMEM to an HBM-resident trajectory
-    while the chain itself stays VMEM-resident — the fused answer to
-    ``return_trajectory=True`` (kept slots match the library loop: states
-    after steps ``thin, 2·thin, …``; trailing ``n_steps % thin`` steps still
-    execute and land in ``final``). Returns ``(traj, final)`` with ``traj``
-    of shape ``(n_steps//thin, n_chains, d)`` and ``final`` ``(n_chains, d)``.
+    Same chain as :func:`mixture_langevin_chain`, but every ``thin``-th state
+    is DMA'd from VMEM to an HBM-resident trajectory while the chain itself
+    stays VMEM-resident — the fused answer to ``return_trajectory=True``
+    (kept slots match the library loop: states after steps ``thin, 2·thin,
+    …``; trailing ``n_steps % thin`` steps still execute and land in
+    ``final``). ``step_size``/``noise_scale`` may each be a ``(n_steps,)``
+    per-step schedule — the SMEM schedule table composes with the trajectory
+    DMA, so an annealed ``TemperatureScheduler`` sweep with trajectory
+    recording (the Energy-Matching R̂/ESS workload) rides this kernel.
+    Returns ``(traj, final)`` with ``traj`` of shape ``(n_steps//thin,
+    n_chains, d)`` and ``final`` ``(n_chains, d)``.
     """
     n_chains, dim = x0.shape
     k, kd = means.shape
@@ -1113,27 +1371,21 @@ def mixture_langevin_chain_trajectory(
     xt, padded = chains_to_tiles(x0)
     lanes = padded // 8
     packed, n_comp = _pack_target(means, log_weights, precision)
+    sched = _schedule_table(step_size, noise_scale, n_steps)
+    staged = 0
+    if noise is not None:
+        staged = int(n_steps) if sched is None else min(int(n_steps), _SCHED_CHUNK)
     # +1 staged copy for the DMA scratch tile
-    block = _mixture_block(
-        lanes, dim, block_chains,
-        n_staged=(0 if noise is None else int(n_steps)) + 1,
-    )
+    block = _mixture_block(lanes, dim, block_chains, n_staged=staged + 1)
     rows = 8 * dim
     grid = (lanes // block,)
     kw = dict(
-        n_steps=int(n_steps),
         thin=int(thin),
-        step_size=float(step_size),
-        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
         inv_var=1.0 / float(scale) ** 2,
         n_components=n_comp,
         d=int(dim),
         block=int(block),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-        jax.ShapeDtypeStruct((n_kept, rows, lanes), jnp.float32),
     )
     state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -1142,41 +1394,145 @@ def mixture_langevin_chain_trajectory(
         pltpu.VMEM((rows, block), jnp.float32),
         pltpu.SemaphoreType.DMA(()),
     ]
-    if noise is None:
-        final, traj = pl.pallas_call(
-            functools.partial(_mixture_chain_traj_kernel, **kw),
-            out_shape=out_shapes,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                state_spec,
-                means_spec,
-            ],
-            out_specs=out_specs,
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(jnp.asarray([seed], jnp.int32), xt, packed)
-    else:
+
+    def out_shapes(kept):
+        return (
+            jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((kept, rows, lanes), jnp.float32),
+        )
+
+    def noise_spec(steps):
+        return pl.BlockSpec(
+            (steps, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+
+    if noise is not None:
         if noise.shape != (n_steps, n_chains, dim):
             raise ValueError(
                 f"noise must have shape {(n_steps, n_chains, dim)}, got {noise.shape}"
             )
         nt = jnp.stack([chains_to_tiles(noise[t])[0] for t in range(n_steps)])
-        final, traj = pl.pallas_call(
-            functools.partial(_mixture_chain_traj_noise_kernel, **kw),
-            out_shape=out_shapes,
-            grid=grid,
-            in_specs=[
-                state_spec,
-                means_spec,
-                pl.BlockSpec(
-                    (n_steps, rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-                ),
-            ],
-            out_specs=out_specs,
-            scratch_shapes=scratch,
-            interpret=interpret,
-        )(xt, packed, nt)
+
+    if sched is None:
+        ckw = dict(
+            n_steps=int(n_steps),
+            step_size=float(step_size),
+            noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+            **kw,
+        )
+        if noise is None:
+            final, traj = pl.pallas_call(
+                functools.partial(_mixture_chain_traj_kernel, **ckw),
+                out_shape=out_shapes(n_kept),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    state_spec,
+                    means_spec,
+                ],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(jnp.asarray([seed], jnp.int32), xt, packed)
+        else:
+            final, traj = pl.pallas_call(
+                functools.partial(_mixture_chain_traj_noise_kernel, **ckw),
+                out_shape=out_shapes(n_kept),
+                grid=grid,
+                in_specs=[state_spec, means_spec, noise_spec(int(n_steps))],
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+                interpret=interpret,
+            )(xt, packed, nt)
+    else:
+        final = xt
+        parts = []
+        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+            kept_c = s1 // int(thin) - s0 // int(thin)
+            if kept_c == 0:
+                # no kept slot in this chunk: plain scheduled advance
+                nkw = dict(
+                    n_steps=s1 - s0,
+                    inv_var=kw["inv_var"],
+                    n_components=n_comp,
+                    d=int(dim),
+                    clamp=kw["clamp"],
+                )
+                if noise is None:
+                    final = pl.pallas_call(
+                        functools.partial(_mixture_chain_sched_kernel, **nkw),
+                        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+                        grid=grid,
+                        in_specs=[
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            state_spec,
+                            means_spec,
+                        ],
+                        out_specs=state_spec,
+                        interpret=interpret,
+                    )(
+                        jnp.asarray([seed], jnp.int32) + c * grid[0],
+                        sched[:, s0:s1],
+                        final,
+                        packed,
+                    )
+                else:
+                    final = pl.pallas_call(
+                        functools.partial(_mixture_chain_sched_noise_kernel, **nkw),
+                        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+                        grid=grid,
+                        in_specs=[
+                            pl.BlockSpec(memory_space=pltpu.SMEM),
+                            state_spec,
+                            means_spec,
+                            noise_spec(s1 - s0),
+                        ],
+                        out_specs=state_spec,
+                        interpret=interpret,
+                    )(sched[:, s0:s1], final, packed, nt[s0:s1])
+                continue
+            ckw = dict(n_steps=s1 - s0, **kw)
+            if noise is None:
+                meta = jnp.concatenate(
+                    [
+                        jnp.asarray([seed], jnp.int32) + c * grid[0],
+                        jnp.asarray([s0, s0 // int(thin)], jnp.int32),
+                    ]
+                )
+                final, traj_c = pl.pallas_call(
+                    functools.partial(_mixture_chain_traj_sched_kernel, **ckw),
+                    out_shape=out_shapes(kept_c),
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                        means_spec,
+                    ],
+                    out_specs=out_specs,
+                    scratch_shapes=scratch,
+                    interpret=interpret,
+                )(meta, sched[:, s0:s1], final, packed)
+            else:
+                meta = jnp.asarray([s0, s0 // int(thin)], jnp.int32)
+                final, traj_c = pl.pallas_call(
+                    functools.partial(_mixture_chain_traj_sched_noise_kernel, **ckw),
+                    out_shape=out_shapes(kept_c),
+                    grid=grid,
+                    in_specs=[
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        pl.BlockSpec(memory_space=pltpu.SMEM),
+                        state_spec,
+                        means_spec,
+                        noise_spec(s1 - s0),
+                    ],
+                    out_specs=out_specs,
+                    scratch_shapes=scratch,
+                    interpret=interpret,
+                )(meta, sched[:, s0:s1], final, packed, nt[s0:s1])
+            parts.append(traj_c)
+        traj = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
     return traj_chains, tiles_to_chains(final, n_chains, dim)
 

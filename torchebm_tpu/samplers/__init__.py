@@ -19,8 +19,11 @@ from .mala import MetropolisAdjustedLangevin
 from .nuts import NoUTurnSampler
 from .parallel_tempering import ParallelTemperingLangevin
 from .rmhmc import RiemannianManifoldHMC
+from .tuning import TrajectoryTuning, tune_trajectory_length
 
 __all__ = [
+    "TrajectoryTuning",
+    "tune_trajectory_length",
     "AISResult",
     "annealed_importance_sampling",
     "BaseSampler",

@@ -165,8 +165,9 @@ class LangevinDynamics(BaseSampler):
         traces transparently), default Euler–Maruyama, constant OR scheduled
         step/noise (any :class:`BaseScheduler` with a concrete table — e.g. the
         Energy-Matching :class:`TemperatureScheduler` — rides the scheduled
-        kernels' SMEM tables), thinned trajectories AND diagnostics for
-        constant schedules (every kept state DMA'd to HBM in-kernel;
+        kernels' SMEM tables), thinned trajectories AND diagnostics for both
+        constant and scheduled chains (every kept state DMA'd to HBM
+        in-kernel — the SMEM schedule table and the trajectory DMA compose;
         mean/var/energy then computed from the kernel trajectory), no
         conditioning, and an
         analytic energy the kernels know (:class:`DoubleWellEnergy`, d-dim
@@ -183,10 +184,6 @@ class LangevinDynamics(BaseSampler):
             return False
         if model_kwargs:
             return False
-        if (return_trajectory or return_diagnostics) and not (
-            _concrete_scalar(self.step_size) and _concrete_scalar(self.noise_scale)
-        ):
-            return False  # trajectory/diagnostics kernels are constant-schedule only
         if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
             return False
         if type(self.integrator) is not EulerMaruyamaIntegrator:
