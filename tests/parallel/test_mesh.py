@@ -174,6 +174,23 @@ def test_sharded_buffer_shuffle(key):
     assert int(shuffled.ptr) == 5
 
 
+def test_dit_cfg_fsdp_train_step(key):
+    """The flagship DiT runs sharded (VERDICT r3 #4): attention/AdaLN/
+    patch-embed kernels carry the fsdp axis through fsdp_shard_params, a
+    CFG flow-matching train step executes on the data x fsdp mesh, and the
+    updated params keep their sharding. Shares the driver's implementation
+    (``__graft_entry__.dryrun_dit_cfg_fsdp``) so the dryrun and the test
+    cannot drift apart."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+    from __graft_entry__ import dryrun_dit_cfg_fsdp
+
+    mesh = make_mesh(("data", "fsdp"), (N_DEV // 2, 2))
+    dryrun_dit_cfg_fsdp(mesh, key)  # asserts internally
+
+
 def test_sinkhorn_coupling_on_sharded_batch(key):
     """Batch-global OT on sharded inputs: cost matrix triggers implicit gathers."""
     from torchebm_tpu.couplings import SinkhornCoupling
