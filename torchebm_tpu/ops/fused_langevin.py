@@ -272,6 +272,24 @@ def _sched_chunks(n_steps: int):
     return [(s, min(s + chunk, int(n_steps))) for s in range(0, int(n_steps), chunk)]
 
 
+#: cached jitted chunk-loop runners, keyed on every static that shapes the
+#: trace. Scheduled chains longer than _SCHED_CHUNK issue one kernel launch
+#: per chunk; dispatched eagerly that is one REMOTE execution per chunk
+#: (measured ~80 ms each through the axon tunnel — a 25-chunk 100k-step
+#: trajectory took 20 µs/step, 3x SLOWER than the scan). Under one jit the
+#: whole chunk sequence compiles to a single XLA program and the launch
+#: count is n-independent.
+_RUNNER_CACHE: dict = {}
+
+
+def _cached_jit(key, make):
+    fn = _RUNNER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(make())
+        _RUNNER_CACHE[key] = fn
+    return fn
+
+
 # ---------------------------------------------------------------------------
 # fused one-step kernel (model-agnostic)
 # ---------------------------------------------------------------------------
@@ -512,36 +530,51 @@ def doublewell_langevin_chain(
                 interpret=interpret,
             )(flat, npad)
     else:
-        out = flat
-        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
-            ckw = dict(n_steps=s1 - s0, **kw)
-            if noise is None:
-                # per-(chunk, block) distinct seeds: chunk offset by grid size
-                out = pl.pallas_call(
-                    functools.partial(_doublewell_chain_sched_kernel, **ckw),
-                    out_shape=out_shape,
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                    ],
-                    out_specs=state_spec,
-                    interpret=interpret,
-                )(jnp.asarray([seed], jnp.int32) + c * grid[0], sched[:, s0:s1], out)
-            else:
-                out = pl.pallas_call(
-                    functools.partial(_doublewell_chain_sched_noise_kernel, **ckw),
-                    out_shape=out_shape,
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                        noise_spec(s1 - s0),
-                    ],
-                    out_specs=state_spec,
-                    interpret=interpret,
-                )(sched[:, s0:s1], out, npad[s0:s1])
+        cache_key = (
+            "dw_chain_sched", _SCHED_CHUNK, int(n_steps), rows, block_rows, grid,
+            tuple(sorted(kw.items())), bool(interpret), noise is not None,
+        )
+
+        def make():
+            def run(flat_a, sched_a, aux):
+                out_a = flat_a
+                for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+                    ckw = dict(n_steps=s1 - s0, **kw)
+                    if noise is None:
+                        # per-(chunk, block) distinct seeds: offset by grid size
+                        out_a = pl.pallas_call(
+                            functools.partial(_doublewell_chain_sched_kernel, **ckw),
+                            out_shape=out_shape,
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                            ],
+                            out_specs=state_spec,
+                            interpret=interpret,
+                        )(aux + c * grid[0], sched_a[:, s0:s1], out_a)
+                    else:
+                        out_a = pl.pallas_call(
+                            functools.partial(
+                                _doublewell_chain_sched_noise_kernel, **ckw
+                            ),
+                            out_shape=out_shape,
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                                noise_spec(s1 - s0),
+                            ],
+                            out_specs=state_spec,
+                            interpret=interpret,
+                        )(sched_a[:, s0:s1], out_a, aux[s0:s1])
+                return out_a
+
+            return run
+
+        aux = jnp.asarray([seed], jnp.int32) if noise is None else npad
+        out = _cached_jit(cache_key, make)(flat, sched, aux)
     return out.reshape(-1)[:n].reshape(orig_shape)
 
 
@@ -788,92 +821,100 @@ def doublewell_langevin_chain_trajectory(
                 interpret=interpret,
             )(flat, npad)
     else:
-        final = flat
-        parts = []
-        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
-            kept_c = s1 // int(thin) - s0 // int(thin)
-            if kept_c == 0:
-                # no kept slot in this chunk: plain scheduled advance
-                final = pl.pallas_call(
-                    functools.partial(
-                        _doublewell_chain_sched_kernel,
-                        n_steps=s1 - s0,
-                        barrier_height=kw["barrier_height"],
-                        b=kw["b"],
-                        clamp=kw["clamp"],
-                    )
-                    if noise is None
-                    else functools.partial(
-                        _doublewell_chain_sched_noise_kernel,
-                        n_steps=s1 - s0,
-                        barrier_height=kw["barrier_height"],
-                        b=kw["b"],
-                        clamp=kw["clamp"],
-                    ),
-                    out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
-                    grid=grid,
-                    in_specs=(
-                        [
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                            state_spec,
-                        ]
-                        if noise is None
-                        else [
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                            state_spec,
-                            noise_spec(s1 - s0),
-                        ]
-                    ),
-                    out_specs=state_spec,
-                    interpret=interpret,
-                )(
-                    *(
-                        (jnp.asarray([seed], jnp.int32) + c * grid[0], sched[:, s0:s1], final)
-                        if noise is None
-                        else (sched[:, s0:s1], final, npad[s0:s1])
-                    )
-                )
-                continue
-            ckw = dict(n_steps=s1 - s0, **kw)
-            if noise is None:
-                meta = jnp.concatenate(
-                    [
-                        jnp.asarray([seed], jnp.int32) + c * grid[0],
-                        jnp.asarray([s0, s0 // int(thin)], jnp.int32),
-                    ]
-                )
-                final, traj_c = pl.pallas_call(
-                    functools.partial(_doublewell_chain_traj_sched_kernel, **ckw),
-                    out_shape=out_shapes(kept_c),
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                    ],
-                    out_specs=out_specs,
-                    scratch_shapes=scratch,
-                    interpret=interpret,
-                )(meta, sched[:, s0:s1], final)
-            else:
-                meta = jnp.asarray([s0, s0 // int(thin)], jnp.int32)
-                final, traj_c = pl.pallas_call(
-                    functools.partial(_doublewell_chain_traj_sched_noise_kernel, **ckw),
-                    out_shape=out_shapes(kept_c),
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                        noise_spec(s1 - s0),
-                    ],
-                    out_specs=out_specs,
-                    scratch_shapes=scratch,
-                    interpret=interpret,
-                )(meta, sched[:, s0:s1], final, npad[s0:s1])
-            parts.append(traj_c)
-        traj = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        cache_key = (
+            "dw_traj_sched", _SCHED_CHUNK, int(n_steps), int(thin), rows, block_rows, grid,
+            tuple(sorted(kw.items())), bool(interpret), noise is not None,
+        )
+
+        def make():
+            def run(flat_a, sched_a, aux):
+                final_a = flat_a
+                parts = []
+                for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+                    kept_c = s1 // int(thin) - s0 // int(thin)
+                    if kept_c == 0:
+                        # no kept slot in this chunk: plain scheduled advance
+                        nkw = dict(
+                            n_steps=s1 - s0,
+                            barrier_height=kw["barrier_height"],
+                            b=kw["b"],
+                            clamp=kw["clamp"],
+                        )
+                        if noise is None:
+                            final_a = pl.pallas_call(
+                                functools.partial(
+                                    _doublewell_chain_sched_kernel, **nkw
+                                ),
+                                out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+                                grid=grid,
+                                in_specs=[
+                                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                                    state_spec,
+                                ],
+                                out_specs=state_spec,
+                                interpret=interpret,
+                            )(aux + c * grid[0], sched_a[:, s0:s1], final_a)
+                        else:
+                            final_a = pl.pallas_call(
+                                functools.partial(
+                                    _doublewell_chain_sched_noise_kernel, **nkw
+                                ),
+                                out_shape=jax.ShapeDtypeStruct((rows, _LANE), jnp.float32),
+                                grid=grid,
+                                in_specs=[
+                                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                                    state_spec,
+                                    noise_spec(s1 - s0),
+                                ],
+                                out_specs=state_spec,
+                                interpret=interpret,
+                            )(sched_a[:, s0:s1], final_a, aux[s0:s1])
+                        continue
+                    ckw = dict(n_steps=s1 - s0, **kw)
+                    chunk_meta = jnp.asarray([s0, s0 // int(thin)], jnp.int32)
+                    if noise is None:
+                        meta = jnp.concatenate([aux + c * grid[0], chunk_meta])
+                        final_a, traj_c = pl.pallas_call(
+                            functools.partial(
+                                _doublewell_chain_traj_sched_kernel, **ckw
+                            ),
+                            out_shape=out_shapes(kept_c),
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                            ],
+                            out_specs=out_specs,
+                            scratch_shapes=scratch,
+                            interpret=interpret,
+                        )(meta, sched_a[:, s0:s1], final_a)
+                    else:
+                        final_a, traj_c = pl.pallas_call(
+                            functools.partial(
+                                _doublewell_chain_traj_sched_noise_kernel, **ckw
+                            ),
+                            out_shape=out_shapes(kept_c),
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                                noise_spec(s1 - s0),
+                            ],
+                            out_specs=out_specs,
+                            scratch_shapes=scratch,
+                            interpret=interpret,
+                        )(chunk_meta, sched_a[:, s0:s1], final_a, aux[s0:s1])
+                    parts.append(traj_c)
+                traj_a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+                return traj_a, final_a
+
+            return run
+
+        aux = jnp.asarray([seed], jnp.int32) if noise is None else npad
+        traj, final = _cached_jit(cache_key, make)(flat, sched, aux)
     traj_out = traj.reshape(n_kept, -1)[:, :n].reshape(n_kept, *orig_shape)
     return traj_out, final.reshape(-1)[:n].reshape(orig_shape)
 
@@ -1286,38 +1327,54 @@ def mixture_langevin_chain(
                 interpret=interpret,
             )(xt, packed, nt)
     else:
-        out = xt
-        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
-            ckw = dict(n_steps=s1 - s0, **kw)
-            if noise is None:
-                # per-(chunk, block) distinct seeds: chunk offset by grid size
-                out = pl.pallas_call(
-                    functools.partial(_mixture_chain_sched_kernel, **ckw),
-                    out_shape=out_shape,
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                        means_spec,
-                    ],
-                    out_specs=state_spec,
-                    interpret=interpret,
-                )(jnp.asarray([seed], jnp.int32) + c * grid[0], sched[:, s0:s1], out, packed)
-            else:
-                out = pl.pallas_call(
-                    functools.partial(_mixture_chain_sched_noise_kernel, **ckw),
-                    out_shape=out_shape,
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                        means_spec,
-                        noise_spec(s1 - s0),
-                    ],
-                    out_specs=state_spec,
-                    interpret=interpret,
-                )(sched[:, s0:s1], out, packed, nt[s0:s1])
+        cache_key = (
+            "mix_chain_sched", _SCHED_CHUNK, int(n_steps), rows, lanes, block, grid,
+            tuple(sorted(kw.items())), packed.shape, bool(interpret),
+            noise is not None,
+        )
+
+        def make():
+            def run(xt_a, packed_a, sched_a, aux):
+                out_a = xt_a
+                for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+                    ckw = dict(n_steps=s1 - s0, **kw)
+                    if noise is None:
+                        # per-(chunk, block) distinct seeds: offset by grid size
+                        out_a = pl.pallas_call(
+                            functools.partial(_mixture_chain_sched_kernel, **ckw),
+                            out_shape=out_shape,
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                                means_spec,
+                            ],
+                            out_specs=state_spec,
+                            interpret=interpret,
+                        )(aux + c * grid[0], sched_a[:, s0:s1], out_a, packed_a)
+                    else:
+                        out_a = pl.pallas_call(
+                            functools.partial(
+                                _mixture_chain_sched_noise_kernel, **ckw
+                            ),
+                            out_shape=out_shape,
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                                means_spec,
+                                noise_spec(s1 - s0),
+                            ],
+                            out_specs=state_spec,
+                            interpret=interpret,
+                        )(sched_a[:, s0:s1], out_a, packed_a, aux[s0:s1])
+                return out_a
+
+            return run
+
+        aux = jnp.asarray([seed], jnp.int32) if noise is None else nt
+        out = _cached_jit(cache_key, make)(xt, packed, sched, aux)
     return tiles_to_chains(out, n_chains, dim)
 
 
@@ -1445,94 +1502,102 @@ def mixture_langevin_chain_trajectory(
                 interpret=interpret,
             )(xt, packed, nt)
     else:
-        final = xt
-        parts = []
-        for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
-            kept_c = s1 // int(thin) - s0 // int(thin)
-            if kept_c == 0:
-                # no kept slot in this chunk: plain scheduled advance
-                nkw = dict(
-                    n_steps=s1 - s0,
-                    inv_var=kw["inv_var"],
-                    n_components=n_comp,
-                    d=int(dim),
-                    clamp=kw["clamp"],
-                )
-                if noise is None:
-                    final = pl.pallas_call(
-                        functools.partial(_mixture_chain_sched_kernel, **nkw),
-                        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-                        grid=grid,
-                        in_specs=[
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                            state_spec,
-                            means_spec,
-                        ],
-                        out_specs=state_spec,
-                        interpret=interpret,
-                    )(
-                        jnp.asarray([seed], jnp.int32) + c * grid[0],
-                        sched[:, s0:s1],
-                        final,
-                        packed,
-                    )
-                else:
-                    final = pl.pallas_call(
-                        functools.partial(_mixture_chain_sched_noise_kernel, **nkw),
-                        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-                        grid=grid,
-                        in_specs=[
-                            pl.BlockSpec(memory_space=pltpu.SMEM),
-                            state_spec,
-                            means_spec,
-                            noise_spec(s1 - s0),
-                        ],
-                        out_specs=state_spec,
-                        interpret=interpret,
-                    )(sched[:, s0:s1], final, packed, nt[s0:s1])
-                continue
-            ckw = dict(n_steps=s1 - s0, **kw)
-            if noise is None:
-                meta = jnp.concatenate(
-                    [
-                        jnp.asarray([seed], jnp.int32) + c * grid[0],
-                        jnp.asarray([s0, s0 // int(thin)], jnp.int32),
-                    ]
-                )
-                final, traj_c = pl.pallas_call(
-                    functools.partial(_mixture_chain_traj_sched_kernel, **ckw),
-                    out_shape=out_shapes(kept_c),
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                        means_spec,
-                    ],
-                    out_specs=out_specs,
-                    scratch_shapes=scratch,
-                    interpret=interpret,
-                )(meta, sched[:, s0:s1], final, packed)
-            else:
-                meta = jnp.asarray([s0, s0 // int(thin)], jnp.int32)
-                final, traj_c = pl.pallas_call(
-                    functools.partial(_mixture_chain_traj_sched_noise_kernel, **ckw),
-                    out_shape=out_shapes(kept_c),
-                    grid=grid,
-                    in_specs=[
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        pl.BlockSpec(memory_space=pltpu.SMEM),
-                        state_spec,
-                        means_spec,
-                        noise_spec(s1 - s0),
-                    ],
-                    out_specs=out_specs,
-                    scratch_shapes=scratch,
-                    interpret=interpret,
-                )(meta, sched[:, s0:s1], final, packed, nt[s0:s1])
-            parts.append(traj_c)
-        traj = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        cache_key = (
+            "mix_traj_sched", _SCHED_CHUNK, int(n_steps), int(thin), rows, lanes, block, grid,
+            tuple(sorted(kw.items())), packed.shape, bool(interpret),
+            noise is not None,
+        )
+
+        def make():
+            def run(xt_a, packed_a, sched_a, aux):
+                final_a = xt_a
+                parts = []
+                for c, (s0, s1) in enumerate(_sched_chunks(n_steps)):
+                    kept_c = s1 // int(thin) - s0 // int(thin)
+                    if kept_c == 0:
+                        # no kept slot in this chunk: plain scheduled advance
+                        nkw = dict(
+                            n_steps=s1 - s0,
+                            inv_var=kw["inv_var"],
+                            n_components=n_comp,
+                            d=int(dim),
+                            clamp=kw["clamp"],
+                        )
+                        if noise is None:
+                            final_a = pl.pallas_call(
+                                functools.partial(_mixture_chain_sched_kernel, **nkw),
+                                out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+                                grid=grid,
+                                in_specs=[
+                                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                                    state_spec,
+                                    means_spec,
+                                ],
+                                out_specs=state_spec,
+                                interpret=interpret,
+                            )(aux + c * grid[0], sched_a[:, s0:s1], final_a, packed_a)
+                        else:
+                            final_a = pl.pallas_call(
+                                functools.partial(
+                                    _mixture_chain_sched_noise_kernel, **nkw
+                                ),
+                                out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+                                grid=grid,
+                                in_specs=[
+                                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                                    state_spec,
+                                    means_spec,
+                                    noise_spec(s1 - s0),
+                                ],
+                                out_specs=state_spec,
+                                interpret=interpret,
+                            )(sched_a[:, s0:s1], final_a, packed_a, aux[s0:s1])
+                        continue
+                    ckw = dict(n_steps=s1 - s0, **kw)
+                    chunk_meta = jnp.asarray([s0, s0 // int(thin)], jnp.int32)
+                    if noise is None:
+                        meta = jnp.concatenate([aux + c * grid[0], chunk_meta])
+                        final_a, traj_c = pl.pallas_call(
+                            functools.partial(_mixture_chain_traj_sched_kernel, **ckw),
+                            out_shape=out_shapes(kept_c),
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                                means_spec,
+                            ],
+                            out_specs=out_specs,
+                            scratch_shapes=scratch,
+                            interpret=interpret,
+                        )(meta, sched_a[:, s0:s1], final_a, packed_a)
+                    else:
+                        final_a, traj_c = pl.pallas_call(
+                            functools.partial(
+                                _mixture_chain_traj_sched_noise_kernel, **ckw
+                            ),
+                            out_shape=out_shapes(kept_c),
+                            grid=grid,
+                            in_specs=[
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                pl.BlockSpec(memory_space=pltpu.SMEM),
+                                state_spec,
+                                means_spec,
+                                noise_spec(s1 - s0),
+                            ],
+                            out_specs=out_specs,
+                            scratch_shapes=scratch,
+                            interpret=interpret,
+                        )(chunk_meta, sched_a[:, s0:s1], final_a, packed_a, aux[s0:s1])
+                    parts.append(traj_c)
+                traj_a = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+                return traj_a, final_a
+
+            return run
+
+        aux = jnp.asarray([seed], jnp.int32) if noise is None else nt
+        traj, final = _cached_jit(cache_key, make)(xt, packed, sched, aux)
     traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
     return traj_chains, tiles_to_chains(final, n_chains, dim)
 

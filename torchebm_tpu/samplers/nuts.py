@@ -278,9 +278,24 @@ class NoUTurnSampler(BaseSampler):
 
     def _transition_batch(self, x: Array, key: Array, eps, model_kwargs):
         keys = jax.random.split(key, x.shape[0])
-        xs, accs, depths, divs = jax.vmap(
-            lambda xi, ki: self._transition(xi, ki, eps, model_kwargs)
-        )(x, keys)
+        # Per-chain conditioning (leaves with a leading chains axis, the
+        # library contract) must ride the vmap: each single-chain transition
+        # sees its own length-1 slice, matching _u/_grad_u's x[None] lift.
+        # Batch-independent kwargs stay closed over.
+        n = x.shape[0]
+        batched = {
+            k: jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n
+            for k, v in model_kwargs.items()
+        }
+        in_axes_mk = {k: (0 if b else None) for k, b in batched.items()}
+
+        def one(xi, ki, mki):
+            mk1 = {k: (v[None] if batched[k] else v) for k, v in mki.items()}
+            return self._transition(xi, ki, eps, mk1)
+
+        xs, accs, depths, divs = jax.vmap(one, in_axes=(0, 0, in_axes_mk))(
+            x, keys, model_kwargs
+        )
         return xs, jnp.mean(accs), jnp.mean(depths), jnp.mean(divs.astype(jnp.float32))
 
     # ---------------------------------------------------------------- hooks
