@@ -490,6 +490,40 @@ def bench_flow(iters: int) -> dict:
 
     per_train = _slope_time(run_train, 5, 105, iters)
 
+    # Device-time per step (round 4): the per-call loop above measures one
+    # remote dispatch per step (~2 ms through the axon tunnel), which buries
+    # the step's actual device time (tens of µs) — the r3 626-vs-440
+    # steps/s discrepancy was tunnel-condition noise on that dispatch cost.
+    # Scanning N steps inside ONE program isolates device time; comparing
+    # couplings isolates the Sinkhorn share (the library-side optimization).
+    def make_scan(coupling):
+        loss_c = EquilibriumMatchingLoss(
+            model=field, interpolant=LinearInterpolant(), coupling=coupling
+        )
+
+        @jax.jit
+        def train_scan(p, s, x, k, n):
+            def body(i, carry):
+                pp, ss = carry
+                l, g = jax.value_and_grad(
+                    lambda q: loss_c(q, x, jax.random.fold_in(k, i))
+                )(pp)
+                u, ss = opt.update(g, ss)
+                return optax.apply_updates(pp, u), ss
+
+            p, s = jax.lax.fori_loop(0, n, body, (p, s))
+            return jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), p, 0.0)
+
+        return lambda n, i: train_scan(
+            params, opt_state, data, jax.random.fold_in(key, i), jnp.int32(n)
+        )
+
+    dev_now = _slope_time(make_scan(SinkhornCoupling(n_iters=50, reg=0.05)), 200, 5200, iters)
+    dev_r3 = _slope_time(
+        make_scan(SinkhornCoupling(n_iters=50, reg=0.05, tol=0.0, fused="off")),
+        200, 5200, iters,
+    )
+
     flow = FlowSampler(model=field, integrator="euler", negate_velocity=True)
     n_gen = 4096
 
@@ -503,6 +537,9 @@ def bench_flow(iters: int) -> dict:
         "gen_samples_per_s": n_gen / med_gen,
         "per_train_step_s": per_train,
         "per_ode_step_s": per_ode_step,
+        "device_us_per_step": dev_now * 1e6,
+        "device_us_per_step_r3_sinkhorn": dev_r3 * 1e6,
+        "sinkhorn_opt_speedup": dev_r3 / dev_now,
         **_mfu_fields(train_step, (params, opt_state, data, key), per_train),
         "config": f"EqM+Sinkhorn batch {batch}; ODE euler 50 steps x {n_gen}",
     }
