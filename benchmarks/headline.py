@@ -320,10 +320,30 @@ def _cd_step_factory(energy_net, data_shape, batch, k_steps, step_size,
             p, s, b, l = step(p, s, b, data, jax.random.fold_in(key, i * 100_003 + j))
         return l
 
+    @jax.jit
+    def step_scan(p, s, b, x, k, n):
+        """n train steps inside ONE program: isolates device time from the
+        ~1.3-2.3 ms per-call remote-dispatch cost (timing rule 3)."""
+
+        def body(i, carry):
+            p, s, b = carry
+            (l, (_, b2)), g = jax.value_and_grad(
+                lambda pp: cd(pp, x, jax.random.fold_in(k, i), b), has_aux=True
+            )(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, b2
+
+        p, s, b = jax.lax.fori_loop(0, n, body, (p, s, b))
+        return jax.tree_util.tree_reduce(lambda a, c: a + jnp.sum(c), p, 0.0)
+
+    def run_scan(n, i):
+        return step_scan(params, opt_state, buffer, data,
+                         jax.random.fold_in(key, i), jnp.int32(n))
+
     def mfu(per_step_s, peak="f32"):
         return _mfu_fields(step, (params, opt_state, buffer, data, key), per_step_s, peak)
 
-    return run, mfu
+    return run, run_scan, mfu
 
 
 def bench_cd_2d(iters: int) -> dict:
@@ -332,12 +352,15 @@ def bench_cd_2d(iters: int) -> dict:
     from torchebm_tpu.models import MLPEnergy
 
     key = jax.random.PRNGKey(0)
-    run, mfu = _cd_step_factory(
+    run, run_scan, mfu = _cd_step_factory(
         MLPEnergy(hidden_dims=(128, 128)), (2,), batch=256, k_steps=10,
         step_size=0.01, persistent=False, buffer_size=0, key=key,
     )
     per_step = _slope_time(run, 5, 105, iters)
+    per_dev = _slope_time(run_scan, 100, 4100, iters)
     return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
+            "device_us_per_step": per_dev * 1e6,
+            "device_steps_per_s": 1.0 / per_dev,
             **mfu(per_step),
             "config": "CD-10 Langevin negatives, MLP(128,128), batch 256, 2D"}
 
@@ -348,13 +371,16 @@ def bench_pcd_mnist(iters: int) -> dict:
     from torchebm_tpu.models import ConvEnergy2D
 
     key = jax.random.PRNGKey(0)
-    run, mfu = _cd_step_factory(
+    run, run_scan, mfu = _cd_step_factory(
         ConvEnergy2D(channels=(32, 64, 64)), (1, 28, 28), batch=64, k_steps=40,
         step_size=10.0, persistent=True, buffer_size=4096, key=key,
         clamp=(-1.0, 1.0),
     )
     per_step = _slope_time(run, 5, 55, iters)
+    per_dev = _slope_time(run_scan, 20, 620, iters)
     return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
+            "device_us_per_step": per_dev * 1e6,
+            "device_steps_per_s": 1.0 / per_dev,
             **mfu(per_step),
             "config": "PCD k=40, ConvEnergy2D, batch 64, 28x28, buffer 4096"}
 
@@ -368,13 +394,16 @@ def bench_pcd_mnist_bf16(iters: int) -> dict:
     from torchebm_tpu.models import ConvEnergy2D
 
     key = jax.random.PRNGKey(0)
-    run, mfu = _cd_step_factory(
+    run, run_scan, mfu = _cd_step_factory(
         ConvEnergy2D(channels=(32, 64, 64), dtype=jnp.bfloat16), (1, 28, 28),
         batch=64, k_steps=40, step_size=10.0, persistent=True,
         buffer_size=4096, key=key, clamp=(-1.0, 1.0),
     )
     per_step = _slope_time(run, 5, 55, iters)
+    per_dev = _slope_time(run_scan, 20, 620, iters)
     return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
+            "device_us_per_step": per_dev * 1e6,
+            "device_steps_per_s": 1.0 / per_dev,
             **mfu(per_step, peak="bf16"),
             "config": "PCD k=40, ConvEnergy2D bf16 compute, batch 64, 28x28"}
 

@@ -21,8 +21,12 @@ from torchebm_tpu.samplers import (
     GradientDescentSampler,
     HamiltonianMonteCarlo,
     LangevinDynamics,
+    MetropolisAdjustedLangevin,
+    NesterovSampler,
+    NoUTurnSampler,
     ParallelTemperingLangevin,
     RiemannianManifoldHMC,
+    annealed_importance_sampling,
 )
 
 ENERGY = GaussianEnergy.standard(2)
@@ -41,6 +45,8 @@ def _samplers():
         FlowSampler(model=lambda x, t: -x, mode="sde", prediction="score",
                     sample_eps=0.01, integrator="euler"),
         ParallelTemperingLangevin(ENERGY, temperatures=(1.0, 2.0), step_size=0.01),
+        MetropolisAdjustedLangevin(ENERGY, step_size=0.1),
+        NoUTurnSampler(ENERGY, step_size=0.3, max_tree_depth=3),
     ]
 
 
@@ -68,13 +74,34 @@ def test_rank_folding_decorrelates_chains(key):
     assert abs(corr) < 1.0  # not identical streams
 
 
-def test_deterministic_sampler_ignores_key_for_updates(key):
-    """GD is deterministic given x: the key only seeds the N(0,I) init."""
-    sampler = GradientDescentSampler(ENERGY, step_size=0.1)
+@pytest.mark.parametrize(
+    "make",
+    [
+        lambda: GradientDescentSampler(ENERGY, step_size=0.1),
+        lambda: NesterovSampler(ENERGY, step_size=0.1),
+    ],
+    ids=["gd", "nesterov"],
+)
+def test_deterministic_sampler_ignores_key_for_updates(key, make):
+    """GD/Nesterov are deterministic given x: the key only seeds the init."""
+    sampler = make()
     x0 = jnp.ones((8, 2))
     a = sampler.sample(key, x=x0, n_steps=10)
     b = sampler.sample(jax.random.fold_in(key, 5), x=x0, n_steps=10)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ais_key_contract(key):
+    target = GaussianEnergy.create(mean=jnp.ones(2), cov=0.5 * jnp.eye(2))
+    a = annealed_importance_sampling(key, target, dim=2, n_samples=64,
+                                     n_rungs=10, step_size=0.1)
+    b = annealed_importance_sampling(key, target, dim=2, n_samples=64,
+                                     n_rungs=10, step_size=0.1)
+    np.testing.assert_array_equal(np.asarray(a.samples), np.asarray(b.samples))
+    assert float(a.log_z) == float(b.log_z)
+    c = annealed_importance_sampling(jax.random.fold_in(key, 1), target, dim=2,
+                                     n_samples=64, n_rungs=10, step_size=0.1)
+    assert float(jnp.max(jnp.abs(a.samples - c.samples))) > 1e-6
 
 
 def test_coupling_key_contract(key):
@@ -109,3 +136,40 @@ def test_loss_key_contract(key):
     (lb, (nb, _)) = cd(params, x, key)
     np.testing.assert_array_equal(np.asarray(na), np.asarray(nb))
     assert float(la) == float(lb)
+
+
+def test_matching_loss_key_contract(key):
+    """SSM / EqM / EM: same key reproduces, different key decorrelates."""
+    from torchebm_tpu.interpolants import LinearInterpolant
+    from torchebm_tpu.losses import (
+        EnergyMatchingLoss,
+        EquilibriumMatchingLoss,
+        SlicedScoreMatching,
+    )
+    from torchebm_tpu.models import MLPVelocityField
+    from torchebm_tpu.samplers.flow import WrappedField
+
+    mlp = MLPEnergy(hidden_dims=(16,))
+    params = mlp.init(key, jnp.zeros((1, 2)))
+    energy = WrappedEnergy(fn=mlp.apply, params=params)
+    x = jax.random.normal(key, (16, 2))
+
+    vnet = MLPVelocityField(hidden_dims=(16,))
+    vparams = vnet.init(key, jnp.zeros((1, 2)), jnp.zeros((1,)))
+    field = WrappedField(fn=vnet.apply, params=vparams)
+
+    losses = [
+        (params, SlicedScoreMatching(model=energy, n_projections=2)),
+        (vparams, EquilibriumMatchingLoss(model=field, interpolant=LinearInterpolant())),
+        (params, EnergyMatchingLoss(model=energy, lambda_cd=1.0,
+                                    coupling="independent", n_langevin_steps=3)),
+    ]
+    for p, loss in losses:
+        out = loss(p, x, key)
+        la = out[0] if isinstance(out, tuple) else out
+        out_b = loss(p, x, key)
+        lb = out_b[0] if isinstance(out_b, tuple) else out_b
+        assert float(la) == float(lb), type(loss).__name__
+        out_c = loss(p, x, jax.random.fold_in(key, 1))
+        lc = out_c[0] if isinstance(out_c, tuple) else out_c
+        assert float(la) != float(lc), type(loss).__name__
