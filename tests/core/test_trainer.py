@@ -148,6 +148,65 @@ def test_epoch_loop_and_callbacks(mlp, key):
     assert len(history) == 2 and "loss" in history[0]
 
 
+def test_scanned_epoch_matches_loop_exactly(mlp, key):
+    """train_epoch_scanned = train_epoch on the same batches, bit-for-bit:
+    same key sequence, same params, same mean metrics — one dispatch."""
+    energy, params = mlp
+    dsm = DenoisingScoreMatching(model=energy, noise_scale=0.2)
+    data = jax.random.normal(key, (8, 16, 2))  # 8 steps x batch 16
+
+    t1 = BaseTrainer(dsm, optax.adam(1e-2), ema_decay=0.99, stateful_loss=False)
+    s1 = t1.init_state(params, key)
+    for b in data:
+        s1, m1 = t1.train_step(s1, b)
+
+    t2 = BaseTrainer(dsm, optax.adam(1e-2), ema_decay=0.99, stateful_loss=False)
+    s2 = t2.init_state(params, key)
+    s2, m2 = t2.train_epoch_scanned(s2, data)
+
+    assert int(s2.step) == int(s1.step) == 8
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        s1.params, s2.params,
+    )
+    np.testing.assert_array_equal(np.asarray(s1.key), np.asarray(s2.key))
+    assert np.isfinite(m2["loss"])
+
+
+def test_scanned_epoch_threads_pcd_buffer_and_conditioning(mlp, key):
+    """Stateful loss (PCD replay buffer) + dict batches with conditioning
+    survive the scan: buffer advances, loss finite."""
+    import flax.linen as nn
+
+    class CondE(nn.Module):
+        @nn.compact
+        def __call__(self, x, y):
+            h = nn.Dense(16)(x) + nn.Embed(4, 16)(y)
+            return nn.Dense(1)(nn.tanh(h)).squeeze(-1)
+
+    m = CondE()
+    params = m.init(key, jnp.zeros((1, 2)), jnp.zeros((1,), jnp.int32))
+    energy = WrappedEnergy(fn=m.apply, params=params)
+    cd = ContrastiveDivergence(
+        model=energy, sampler=LangevinDynamics(energy, step_size=0.05),
+        k_steps=3, persistent=True, buffer_size=64, init_steps=0,
+    )
+    trainer = ContrastiveDivergenceTrainer(cd, learning_rate=1e-3)
+    state = trainer.init_state(params, key, loss_state=cd.init_buffer(key, (2,)))
+    buf_before = np.asarray(state.loss_state.samples).copy()
+
+    batches = {
+        "data": jax.random.normal(key, (5, 16, 2)),
+        "y": jnp.zeros((5, 16), jnp.int32),
+    }
+    state, metrics = trainer.train_epoch_scanned(state, batches)
+    assert int(state.step) == 5
+    assert np.isfinite(metrics["loss"])
+    assert float(jnp.max(jnp.abs(state.loss_state.samples - buf_before))) > 0
+
+
 def test_validation():
     with pytest.raises(ValueError):
         BaseTrainer(lambda *a, **k: 0.0, optax.sgd(0.1), grad_accum_steps=0)
