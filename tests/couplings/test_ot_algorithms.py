@@ -206,6 +206,35 @@ def test_cost_couplings_flatten_structured_samples(key):
     np.testing.assert_allclose(s_in, s_out, rtol=1e-5)
 
 
+def test_degenerate_constant_cost(key):
+    """All targets identical → constant cost matrix: the assignment solvers
+    must still return a valid permutation (any), Sinkhorn a uniform plan."""
+    x0 = jax.random.normal(key, (12, 2))
+    x1 = jnp.broadcast_to(jnp.array([1.0, -1.0]), (12, 2))
+    for c in (ExactOTCoupling(), GreedyCoupling()):
+        res = c(x0, x1, key=key)
+        np.testing.assert_allclose(
+            np.asarray(res.x1), np.asarray(x1), rtol=1e-6
+        )
+    cost = jnp.zeros((12, 12))
+    from torchebm_tpu.couplings.ot import auction_assignment, greedy_assignment
+
+    for perm in (auction_assignment(cost), greedy_assignment(cost)):
+        assert sorted(np.asarray(perm).tolist()) == list(range(12))
+    plan = jnp.exp(sinkhorn_log(cost, reg=0.1, n_iters=50))
+    np.testing.assert_allclose(np.asarray(plan), np.full((12, 12), 1 / 144), atol=1e-6)
+
+
+def test_duplicate_sources_ok(key):
+    """Duplicate x0 rows (repeated samples in a batch) don't break solvers."""
+    x0 = jnp.tile(jax.random.normal(key, (4, 2)), (4, 1))  # 16 rows, 4 unique
+    x1 = jax.random.normal(jax.random.fold_in(key, 1), (16, 2))
+    for c in (ExactOTCoupling(), GreedyCoupling(), SinkhornCoupling()):
+        res = c(x0, x1, key=key)
+        assert res.x1.shape == (16, 2)
+        assert bool(jnp.all(jnp.isfinite(res.x1)))
+
+
 def test_x0_marginal_always_preserved(key):
     """Every cost coupling returns x0 untouched and in order (ref rule,
     ``base_coupling.py:146-227``)."""
