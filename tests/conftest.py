@@ -22,9 +22,27 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+import gc  # noqa: E402
+
 import pytest  # noqa: E402
 
 
 @pytest.fixture
 def key():
     return jax.random.PRNGKey(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_compiler_state():
+    """Clear JAX's compiled-program caches between test modules.
+
+    At ~1000 tests the suite accumulates thousands of compiled CPU
+    executables in one process; past ~950 the XLA CPU compiler started
+    segfaulting mid-compile (observed in jax 0.9.0 at
+    ``compiler.py::backend_compile_and_load`` on a program that compiles
+    fine in isolation). Dropping caches per module bounds compiler/arena
+    state; the cost is recompilation across module boundaries only.
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()
