@@ -1,5 +1,6 @@
 """Training + profiling utilities (reference ``torchebm/utils/__init__.py:10-16``)."""
 
+from .data import prefetch_to_device, stack_batches
 from .precision import Policy, bf16_policy, cast_floating, f32_policy
 from .profiling import benchmark_fn, profile_context, record_function
 from .training import (
@@ -11,6 +12,8 @@ from .training import (
 )
 
 __all__ = [
+    "stack_batches",
+    "prefetch_to_device",
     "update_ema",
     "freeze_mask",
     "save_checkpoint",
