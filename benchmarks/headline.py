@@ -284,18 +284,21 @@ def bench_mala_ess(iters: int) -> dict:
 
 
 def _cd_step_factory(energy_net, data_shape, batch, k_steps, step_size,
-                     persistent, buffer_size, key, clamp=None):
+                     persistent, buffer_size, key, clamp=None,
+                     fused_neural="off"):
     import jax
     import optax
 
     import jax.numpy as jnp
-    from torchebm_tpu.core import WrappedEnergy
+    from torchebm_tpu.core import as_energy
     from torchebm_tpu.losses import ContrastiveDivergence
     from torchebm_tpu.samplers import LangevinDynamics
 
     params = energy_net.init(key, jnp.zeros((1, *data_shape)))
-    energy = WrappedEnergy(fn=energy_net.apply, params=params)
-    sampler = LangevinDynamics(energy, step_size=step_size, clamp=clamp)
+    energy = as_energy(energy_net, params)
+    sampler = LangevinDynamics(
+        energy, step_size=step_size, clamp=clamp, fused_neural=fused_neural
+    )
     cd = ContrastiveDivergence(
         model=energy, sampler=sampler, k_steps=k_steps,
         persistent=persistent, buffer_size=buffer_size, init_steps=0,
@@ -358,9 +361,18 @@ def bench_cd_2d(iters: int) -> dict:
     )
     per_step = _slope_time(run, 5, 105, iters)
     per_dev = _slope_time(run_scan, 100, 4100, iters)
+    # round 4: the whole-negatives-chain neural kernel (fused_neural="auto")
+    _, run_scan_k, _ = _cd_step_factory(
+        MLPEnergy(hidden_dims=(128, 128)), (2,), batch=256, k_steps=10,
+        step_size=0.01, persistent=False, buffer_size=0, key=key,
+        fused_neural="auto",
+    )
+    per_dev_k = _slope_time(run_scan_k, 100, 4100, iters)
     return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
             "device_us_per_step": per_dev * 1e6,
             "device_steps_per_s": 1.0 / per_dev,
+            "device_us_per_step_neural_kernel": per_dev_k * 1e6,
+            "neural_kernel_speedup": per_dev / per_dev_k,
             **mfu(per_step),
             "config": "CD-10 Langevin negatives, MLP(128,128), batch 256, 2D"}
 

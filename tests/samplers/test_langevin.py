@@ -342,6 +342,63 @@ class TestFusedDispatch:
         # and the chain is statistically sane: mixture is centered at 0
         assert abs(float(jnp.mean(traj_jit))) < 1.0
 
+    def test_neural_kernel_dispatch_and_under_jit(self, key, monkeypatch):
+        """Round-4: arch-tagged SiLU-MLP energies ride the neural chain
+        kernel when fused_neural='auto'/'force' — INCLUDING under an outer
+        jit (the CD train-step context), unlike the analytic kernels."""
+        import torchebm_tpu.ops.fused_mlp_langevin as nops
+        from torchebm_tpu.core import as_energy
+        from torchebm_tpu.models import MLPEnergy
+
+        calls = []
+
+        def stub(x0, layers, n_steps, step_size, noise_scale, *, seed, clamp=None,
+                 **kw):
+            calls.append((x0.shape, len(layers), n_steps, step_size))
+            return x0
+
+        monkeypatch.setattr(nops, "mlp_langevin_chain", stub)
+        net = MLPEnergy(hidden_dims=(32, 16))
+        params = net.init(key, jnp.zeros((1, 2)))
+        energy = as_energy(net, params)
+        assert energy.arch == "silu_mlp"
+        sampler = LangevinDynamics(energy, step_size=0.01, fused_neural="force")
+
+        out = sampler.sample(key, dim=2, n_samples=8, n_steps=5)
+        assert calls == [((8, 2), 3, 5, 0.01)]
+        assert out.shape == (8, 2)
+
+        @jax.jit
+        def run(k):
+            return sampler.sample(k, dim=2, n_samples=8, n_steps=5)
+
+        assert run(key).shape == (8, 2)
+        assert len(calls) == 2  # dispatched under trace too
+
+    def test_neural_kernel_off_by_default_and_falls_back(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_mlp_langevin as nops
+        from torchebm_tpu.core import as_energy
+        from torchebm_tpu.models import MLPEnergy
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("neural kernel must not engage")
+
+        monkeypatch.setattr(nops, "mlp_langevin_chain", boom)
+        net = MLPEnergy(hidden_dims=(16,))
+        params = net.init(key, jnp.zeros((1, 2)))
+        energy = as_energy(net, params)
+        # default off
+        s = LangevinDynamics(energy, step_size=0.01)
+        assert s.sample(key, dim=2, n_samples=4, n_steps=3).shape == (4, 2)
+        # trajectory/diagnostics/conditioning keep the scan path even when on
+        s2 = LangevinDynamics(energy, step_size=0.01, fused_neural="force")
+        out = s2.sample(key, dim=2, n_samples=4, n_steps=3, return_trajectory=True)
+        assert out.shape == (4, 3, 2)
+        # untagged energies never dispatch
+        plain = energy.replace(arch=None)
+        s3 = LangevinDynamics(plain, step_size=0.01, fused_neural="force")
+        assert s3.sample(key, dim=2, n_samples=4, n_steps=3).shape == (4, 2)
+
     def test_traced_calls_fall_back(self, key, monkeypatch):
         """Inside user jit the generic scan path is used (shards/traces fine)."""
         import torchebm_tpu.ops.fused_langevin as fl

@@ -106,6 +106,12 @@ class WrappedEnergy(Energy):
 
     fn: Callable[..., Array] = struct.field(pytree_node=False)
     params: Any = None
+    #: optional architecture tag enabling kernel fast paths that must know
+    #: the exact compute graph (e.g. ``"silu_mlp"`` = MLPEnergy's SiLU stack
+    #: → the whole-chain neural Langevin kernel). ``as_energy`` sets it
+    #: automatically for known model classes; set it yourself only if ``fn``
+    #: really is that architecture.
+    arch: Any = struct.field(pytree_node=False, default=None)
 
     def energy(self, x: Array, **kwargs: Any) -> Array:
         if self.params is None:
@@ -127,7 +133,8 @@ def as_energy(model: Any, params: Any = None) -> Energy:
     if hasattr(model, "apply") and not callable(model):  # pragma: no cover
         raise TypeError(f"Cannot interpret {model!r} as an energy function.")
     if hasattr(model, "apply") and params is not None:
-        return WrappedEnergy(fn=model.apply, params=params)
+        arch = "silu_mlp" if type(model).__name__ == "MLPEnergy" else None
+        return WrappedEnergy(fn=model.apply, params=params, arch=arch)
     if callable(model):
         return WrappedEnergy(fn=model, params=params)
     raise TypeError(f"Cannot interpret {model!r} as an energy function.")

@@ -209,7 +209,13 @@ class ContrastiveDivergence(BaseLoss):
         """
         mk = model_kwargs or {}
         model = self._model(params)
-        sampler = self.sampler.replace(model=inject_params(self.sampler.model, params))
+        # Negatives are stop-gradient (the CD estimator), so cut tangents at
+        # the chain's INPUT, not just its output: the whole k-step MCMC then
+        # traces tangent-free under value_and_grad (no wasted JVP bookkeeping,
+        # and kernel fast paths without autodiff rules stay usable).
+        sampler = self.sampler.replace(
+            model=inject_params(self.sampler.model, jax.lax.stop_gradient(params))
+        )
 
         k_start, k_chain, k_real = jax.random.split(key, 3)
         starts = self._start_points(x, buffer, k_start)

@@ -16,10 +16,13 @@ from .fused_langevin import (
     mixture_langevin_chain,
     mixture_langevin_chain_trajectory,
 )
+from .fused_mlp_langevin import extract_mlp_layers, mlp_langevin_chain
 from .fused_sinkhorn import sinkhorn_log_fused
 
 __all__ = [
     "sinkhorn_log_fused",
+    "mlp_langevin_chain",
+    "extract_mlp_layers",
     "fused_langevin_step",
     "doublewell_langevin_chain",
     "doublewell_langevin_chain_trajectory",

@@ -120,6 +120,16 @@ class LangevinDynamics(BaseSampler):
     unroll: int = struct.field(pytree_node=False, default=1)
     #: chain PRNG implementation: "auto" (rbg on TPU), "threefry", or "rbg".
     rng_impl: str = struct.field(pytree_node=False, default="auto")
+    #: whole-chain NEURAL-energy kernel (``ops/fused_mlp_langevin``) for
+    #: arch-tagged SiLU-MLP energies (``WrappedEnergy(arch="silu_mlp")``).
+    #: Unlike ``fused`` this engages UNDER an outer jit (the CD train step),
+    #: so it is opt-in ("auto"): the pallas call has no autodiff/sharding
+    #: rules — params must be tangent-free (ContrastiveDivergence
+    #: stop-gradients them) and the call must not need partitioning.
+    #: Default OFF because measured SLOWER than the compiled scan on v5e
+    #: (0.43×–0.93× across d=2..128; see the module docstring) — the knob
+    #: exists to reproduce that measurement.
+    fused_neural: str = struct.field(pytree_node=False, default="off")
     #: >1 draws Gaussian noise for this many steps per PRNG call and unrolls
     #: the updates (default-EM path, thin=1, no trajectory/diagnostics only;
     #: falls back otherwise). Same distribution and scheduler semantics as
@@ -135,6 +145,10 @@ class LangevinDynamics(BaseSampler):
         if self.fused not in ("auto", "off", "force"):
             raise ValueError(
                 f"fused must be 'auto', 'off' or 'force', got {self.fused!r}"
+            )
+        if self.fused_neural not in ("auto", "off", "force"):
+            raise ValueError(
+                f"fused_neural must be 'auto', 'off' or 'force', got {self.fused_neural!r}"
             )
         integ = resolve_integrator(
             self.integrator, default="euler_maruyama", families=("sde",)
@@ -156,6 +170,32 @@ class LangevinDynamics(BaseSampler):
         return {"x": x}
 
     # -------------------------------------------------------- fused fast path
+
+    def _neural_fusable(
+        self, return_trajectory, return_diagnostics, thin, model_kwargs
+    ) -> bool:
+        """Whether this call may ride the neural SiLU-MLP chain kernel.
+
+        Opt-in (``fused_neural="auto"``), TPU backend (``"force"`` skips the
+        check — kernel-stub tests), arch-tagged :class:`WrappedEnergy`,
+        default Euler–Maruyama, constant concrete schedules, no thin/
+        trajectory/diagnostics/conditioning. Tracers are ALLOWED — the
+        kernel dispatches inside the jitted CD train step (params must be
+        tangent-free; ``ContrastiveDivergence`` guarantees it).
+        """
+        from ..core.energies import WrappedEnergy
+
+        if self.fused_neural == "off":
+            return False
+        if self.fused_neural != "force" and jax.default_backend() != "tpu":
+            return False
+        if model_kwargs or thin != 1 or return_trajectory or return_diagnostics:
+            return False
+        if type(self.integrator) is not EulerMaruyamaIntegrator:
+            return False
+        if not _concrete_scalar(self.step_size) or not _concrete_scalar(self.noise_scale):
+            return False
+        return isinstance(self.model, WrappedEnergy) and self.model.arch == "silu_mlp"
 
     def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs) -> bool:
         """Whether this exact call maps onto a whole-chain Pallas kernel.
@@ -248,7 +288,44 @@ class LangevinDynamics(BaseSampler):
         """Run the chain; eager TPU calls on supported analytic energies are
         dispatched to the whole-chain Pallas kernels in
         :mod:`torchebm_tpu.ops.fused_langevin` (zero HBM round-trips between
-        steps), everything else to the shared compiled scan."""
+        steps), everything else to the shared compiled scan. Arch-tagged
+        SiLU-MLP energies additionally ride the neural chain kernel
+        (:mod:`torchebm_tpu.ops.fused_mlp_langevin`) when
+        ``fused_neural="auto"`` — including under an outer jit (the CD
+        train step; see the field docstring for the contract)."""
+        if self._neural_fusable(return_trajectory, return_diagnostics, thin, model_kwargs):
+            from ..ops import fused_mlp_langevin as nops
+
+            layers = nops.extract_mlp_layers(self.model.params)
+            d_in = (
+                jnp.shape(x)[-1]
+                if x is not None
+                else (dim if isinstance(dim, int) else None)
+            )
+            widths = (
+                [d_in] + [w.shape[1] for w, _ in layers[:-1]]
+                if layers is not None and d_in is not None
+                else None
+            )
+            if (
+                widths is not None
+                and (x is None or jnp.ndim(x) == 2)
+                and layers[0][0].shape[0] == d_in
+                and max(widths) <= nops._MAX_WIDTH
+            ):
+                key_init, key_run = jax.random.split(key)
+                x0 = self._init_state(key_init, x, dim, n_samples)
+                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+                return nops.mlp_langevin_chain(
+                    x0,
+                    layers,
+                    n_steps,
+                    float(self.step_size),
+                    float(self.noise_scale),
+                    seed=seed,
+                    clamp=self.clamp,
+                )
+            # unsupported shape/width: fall through to the scan path
         if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
             from ..ops import fused_langevin as ops
 
