@@ -183,3 +183,49 @@ def test_trailing_ones_closed_form():
     got = np.asarray(jax.vmap(_trailing_ones)(jnp.asarray(vals, jnp.int32)))
     want = np.asarray([ref(v & 0xFFFFFFFF) if v >= 0 else ref(v + (1 << 32)) for v in vals])
     np.testing.assert_array_equal(got, want)
+
+
+def test_shared_kwargs_pins_coincident_leading_dim(key):
+    """A batch-shared (n_proj, d) conditioning matrix whose leading dim equals
+    n_chains must NOT be sliced per chain when named in ``shared_kwargs``
+    (advisor r4: the leading-dim heuristic is ambiguous for such leaves)."""
+    from torchebm_tpu.core.energies import WrappedEnergy
+
+    n_chains, d = 4, 2
+    A = jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0], [1.0, -1.0]])  # (4, 2)
+
+    def cond_energy(x, A):
+        return 0.5 * jnp.sum((x @ A.T) ** 2, axis=-1)
+
+    shared = NoUTurnSampler(
+        WrappedEnergy(fn=cond_energy), step_size=0.2, shared_kwargs=("A",)
+    )
+    closed = NoUTurnSampler(
+        WrappedEnergy(fn=lambda x: cond_energy(x, A)), step_size=0.2
+    )
+    out_shared = shared.sample(
+        key, dim=d, n_samples=n_chains, n_steps=20, model_kwargs={"A": A}
+    )
+    out_closed = closed.sample(key, dim=d, n_samples=n_chains, n_steps=20)
+    np.testing.assert_array_equal(out_shared, out_closed)
+
+    # the unpinned heuristic slices A per chain -> silently different chains
+    unpinned = NoUTurnSampler(WrappedEnergy(fn=cond_energy), step_size=0.2)
+    out_heur = unpinned.sample(
+        key, dim=d, n_samples=n_chains, n_steps=20, model_kwargs={"A": A}
+    )
+    assert not np.allclose(np.asarray(out_heur), np.asarray(out_closed))
+
+
+def test_shared_kwargs_unknown_name_raises(key):
+    from torchebm_tpu.core.energies import WrappedEnergy
+
+    nuts = NoUTurnSampler(
+        WrappedEnergy(fn=lambda x, z: jnp.sum(x * x, -1) + jnp.sum(z)),
+        step_size=0.2,
+        shared_kwargs=("typo",),
+    )
+    with pytest.raises(ValueError, match="shared_kwargs"):
+        nuts.sample(
+            key, dim=2, n_samples=4, n_steps=2, model_kwargs={"z": jnp.ones(3)}
+        )

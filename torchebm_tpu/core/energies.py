@@ -133,7 +133,13 @@ def as_energy(model: Any, params: Any = None) -> Energy:
     if hasattr(model, "apply") and not callable(model):  # pragma: no cover
         raise TypeError(f"Cannot interpret {model!r} as an energy function.")
     if hasattr(model, "apply") and params is not None:
-        arch = "silu_mlp" if type(model).__name__ == "MLPEnergy" else None
+        # Identity match against the library class — a user class merely
+        # *named* "MLPEnergy" must not inherit the SiLU-MLP kernel tag (the
+        # neural chain kernel computes a SiLU gradient and cannot tell
+        # activations apart from the param tree shape alone).
+        from ..models.nets import MLPEnergy
+
+        arch = "silu_mlp" if type(model) is MLPEnergy else None
         return WrappedEnergy(fn=model.apply, params=params, arch=arch)
     if callable(model):
         return WrappedEnergy(fn=model, params=params)

@@ -51,16 +51,23 @@ def _use_fused_sinkhorn(C: Array, reg, tol, damping, fused: str) -> bool:
     """Dispatch gate for the whole-loop Pallas kernel (``ops/fused_sinkhorn``).
 
     TPU backend only (CPU tests exercise the XLA path; the kernel itself is
-    covered by interpret-mode parity tests), hyperparameters concrete (they
-    are baked into the kernel program), matrix inside the VMEM budget.
-    Unlike the sampler chain kernels this engages under an outer ``jit`` —
-    ``pallas_call`` traces transparently, and the training step that owns the
-    coupling is always jitted.
+    covered by interpret-mode parity tests), float32 cost matrix (the kernel
+    computes in f32 — non-f32 inputs keep the XLA path so their numerics are
+    never silently changed), hyperparameters concrete (they are baked into
+    the kernel program), matrix inside the VMEM budget. Unlike the sampler
+    chain kernels this engages under an outer ``jit`` — ``pallas_call``
+    traces transparently, and the training step that owns the coupling is
+    always jitted. ``fused="force"`` overrides the backend and dtype gates
+    (off-TPU it runs the kernel in interpret mode, matching the analytic
+    chain kernels' convention).
     """
     if fused == "off":
         return False
-    if fused != "force" and jax.default_backend() != "tpu":
-        return False
+    if fused != "force":
+        if jax.default_backend() != "tpu":
+            return False
+        if C.dtype != jnp.float32:
+            return False
     for v in (reg, tol, damping):
         if isinstance(v, jax.core.Tracer):
             return False
@@ -69,13 +76,20 @@ def _use_fused_sinkhorn(C: Array, reg, tol, damping, fused: str) -> bool:
     return fits_fused_sinkhorn(*C.shape)
 
 
+def _fused_interpret() -> bool:
+    """Interpret-mode flag for force-dispatched kernels off-TPU."""
+    return jax.default_backend() != "tpu"
+
+
 def _sinkhorn_potentials(M, log_mu, log_nu, n_iters, tol, unroll, damping=1.0):
     """Shared XLA fixed-point loop; returns potentials ``(f, g)``.
 
     ``tol > 0`` runs a bounded ``lax.while_loop`` that exits once the sup-norm
     of the ``f`` update drops below ``tol`` (checked every ``unroll``
-    iterations, ``n_iters`` cap); ``tol == 0`` keeps the fixed ``fori_loop``
-    (exact backward compatibility), unrolled ``unroll``-way.
+    iterations); at most ``n_iters`` pair updates run in total — with
+    ``unroll > 1`` the trailing ``n_iters % unroll`` iterations execute as a
+    partial block guarded on non-convergence. ``tol == 0`` keeps the fixed
+    ``fori_loop`` (exact backward compatibility), unrolled ``unroll``-way.
     """
     n = M.shape[0]
     m = M.shape[1]
@@ -89,7 +103,8 @@ def _sinkhorn_potentials(M, log_mu, log_nu, n_iters, tol, unroll, damping=1.0):
     init = (jnp.zeros(n, M.dtype), jnp.zeros(m, M.dtype))
     unroll = max(1, int(unroll))
     if tol and tol > 0:
-        n_checks = -(-int(n_iters) // unroll)
+        n_checks = int(n_iters) // unroll
+        rem = int(n_iters) - n_checks * unroll
 
         def cond(state):
             _, err, it = state
@@ -103,9 +118,16 @@ def _sinkhorn_potentials(M, log_mu, log_nu, n_iters, tol, unroll, damping=1.0):
             err = jnp.max(jnp.abs(fg[0] - f_prev))
             return fg, err, it + 1
 
-        (f, g), _, _ = jax.lax.while_loop(
+        (f, g), err, _ = jax.lax.while_loop(
             cond, body, (init, jnp.array(jnp.inf, M.dtype), jnp.int32(0))
         )
+        if rem:
+            def partial_block(fg):
+                for _ in range(rem):
+                    fg = pair(fg)
+                return fg
+
+            f, g = jax.lax.cond(err > tol, partial_block, lambda fg: fg, (f, g))
         return f, g
     f, g = jax.lax.fori_loop(0, n_iters, lambda _, fg: pair(fg), init, unroll=unroll)
     return f, g
@@ -131,7 +153,7 @@ def sinkhorn_log(
     if _use_fused_sinkhorn(C, reg, tol, 1.0, fused):
         from ..ops.fused_sinkhorn import sinkhorn_log_fused
 
-        return sinkhorn_log_fused(C, reg, n_iters, tol=tol)
+        return sinkhorn_log_fused(C, reg, n_iters, tol=tol, interpret=_fused_interpret())
     n, m = C.shape
     M = -C / reg
     f, g = _sinkhorn_potentials(M, -math.log(n), -math.log(m), n_iters, tol, unroll)
@@ -155,7 +177,9 @@ def unbalanced_sinkhorn_log(
     if _use_fused_sinkhorn(C, reg, tol, fi, fused):
         from ..ops.fused_sinkhorn import sinkhorn_log_fused
 
-        return sinkhorn_log_fused(C, reg, n_iters, tol=tol, damping=fi)
+        return sinkhorn_log_fused(
+            C, reg, n_iters, tol=tol, damping=fi, interpret=_fused_interpret()
+        )
     n, m = C.shape
     M = -C / reg
     f, g = _sinkhorn_potentials(

@@ -324,6 +324,8 @@ class LangevinDynamics(BaseSampler):
                     float(self.noise_scale),
                     seed=seed,
                     clamp=self.clamp,
+                    interpret=self.fused_neural == "force"
+                    and jax.default_backend() != "tpu",
                 )
             # unsupported shape/width: fall through to the scan path
         if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):

@@ -70,6 +70,15 @@ class NoUTurnSampler(BaseSampler):
     mass: Optional[Union[float, Array]] = None
     target_accept: float = struct.field(pytree_node=False, default=0.8)
     divergence_threshold: float = struct.field(pytree_node=False, default=1000.0)
+    #: names of ``model_kwargs`` entries that are batch-SHARED (closed over by
+    #: every chain) even when their leading dimension equals the chain count.
+    #: NUTS vmaps the transition over chains, so it must decide per leaf
+    #: whether to slice along axis 0 (the library's per-chain conditioning
+    #: contract: leading dim == n_chains) or broadcast; a shared (n, m)
+    #: data/feature matrix whose first dimension coincidentally equals
+    #: n_chains would otherwise be silently sliced per chain. List such
+    #: kwargs here to pin them shared.
+    shared_kwargs: Tuple[str, ...] = struct.field(pytree_node=False, default=())
 
     def __post_init__(self):
         if not 1 <= self.max_tree_depth <= 12:
@@ -281,10 +290,20 @@ class NoUTurnSampler(BaseSampler):
         # Per-chain conditioning (leaves with a leading chains axis, the
         # library contract) must ride the vmap: each single-chain transition
         # sees its own length-1 slice, matching _u/_grad_u's x[None] lift.
-        # Batch-independent kwargs stay closed over.
+        # Batch-independent kwargs stay closed over. The leading-dim test is
+        # a heuristic — a batch-shared leaf whose first dimension happens to
+        # equal n_chains is indistinguishable from per-chain conditioning by
+        # shape alone; ``shared_kwargs`` names such leaves explicitly.
         n = x.shape[0]
+        shared = set(self.shared_kwargs)
+        unknown = shared.difference(model_kwargs)
+        if unknown and model_kwargs:
+            raise ValueError(
+                f"shared_kwargs names {sorted(unknown)} not present in "
+                f"model_kwargs {sorted(model_kwargs)}"
+            )
         batched = {
-            k: jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n
+            k: k not in shared and jnp.ndim(v) >= 1 and jnp.shape(v)[0] == n
             for k, v in model_kwargs.items()
         }
         in_axes_mk = {k: (0 if b else None) for k, b in batched.items()}
