@@ -2,7 +2,8 @@
 
 The whole-chain kernels are auto-dispatched by the samplers on eager TPU
 calls with supported analytic energies (``LangevinDynamics(fused="auto")``,
-``HamiltonianMonteCarlo(fused="auto")``, ``MetropolisAdjustedLangevin(fused="auto")``); everything is also importable
+``HamiltonianMonteCarlo(fused="auto")``, ``MetropolisAdjustedLangevin(fused="auto")``,
+``ParallelTemperingLangevin(fused="auto")``); everything is also importable
 directly for hand-wired use, mirroring the reference's explicit-import stance
 (``cuda/__init__.py:8``).
 """
@@ -17,6 +18,7 @@ from .fused_langevin import (
     mixture_langevin_chain_trajectory,
 )
 from .fused_mlp_langevin import extract_mlp_layers, mlp_langevin_chain
+from .fused_pt import pt_langevin_chain
 from .fused_sinkhorn import sinkhorn_log_fused
 
 __all__ = [
@@ -32,4 +34,5 @@ __all__ = [
     "mixture_hmc_chain_trajectory",
     "mixture_mala_chain",
     "mixture_mala_chain_trajectory",
+    "pt_langevin_chain",
 ]

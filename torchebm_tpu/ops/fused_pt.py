@@ -1,0 +1,429 @@
+r"""Pallas TPU kernel: whole-chain parallel-tempered Langevin (replica exchange).
+
+Round-4 verdict item 3: :class:`~torchebm_tpu.samplers.ParallelTemperingLangevin`
+previously could not ride the fused chain kernels because its per-replica
+:math:`\beta_r`-scaled drift has no slot in the single-scale Langevin kernels
+(``ops/fused_langevin.py``). This kernel runs the ENTIRE replica ladder in one
+launch: the state tile is ``(R·8·d, lanes)`` — replica ``r``'s coordinate
+``i`` occupies sublane rows ``r·8d + 8i .. +8`` — and the (static) ladder
+unrolls in-trace, so each replica's drift carries its own baked
+:math:`\beta_r` multiplier with zero table lookups:
+
+.. math::
+    x^{(r)}_{t+1} = x^{(r)}_t - \eta\,\beta_r \nabla U(x^{(r)}_t)
+    + \text{noise\_scale}\cdot\sqrt{2\eta}\,\varepsilon_t
+
+Replica-exchange sweeps happen **in-kernel**: every ``swap_every`` steps the
+per-chain unnormalized log-densities of all replicas are evaluated from the
+(already VMEM-resident) state, and the alternating even/odd adjacent-pair
+Metropolis exchanges (Okabe et al. 2001; the scan path's ``_swap``) run as
+branch-free ``jnp.where`` selects on the coordinate tiles. The chain never
+round-trips HBM — neither between Langevin steps nor across swaps — which is
+exactly what the scan path cannot avoid (one state materialization per step).
+
+Supported targets mirror the mixture-family chain kernels: d-dim isotropic
+Gaussian mixtures (``K·d ≤ 1024``) and full-covariance Gaussians (``d ≤ 32``
+via ``precision=``), sharing :func:`~torchebm_tpu.ops.fused_langevin._tile_grad_logp`.
+The swap acceptance statistic of the FINAL attempted sweep is emitted like the
+scan path's ``swap_acceptance_rate`` diagnostic (mean accept probability over
+the pairs attempted that sweep).
+
+``noise=`` / ``swap_uniform=`` inject the Gaussian increments and the
+per-pair exchange uniforms for the exact-parity CI path
+(``tests/ops/test_pt_parity.py``) — the same correctness pattern as every
+other chain kernel (reference ``torchebm/cuda/fused_langevin.py:90-138``;
+the reference itself never implemented parallel tempering —
+``torchebm/losses/contrastive_divergence.py:246-263`` is a constructor stub).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_langevin import (
+    _LANE,
+    _mixture_block,
+    _normal_tiles,
+    _pack_target,
+    _split_coords,
+    _tile_grad_logp,
+    _uniform_from_bits,
+    chains_to_tiles,
+    tiles_to_chains,
+)
+
+Array = jax.Array
+
+__all__ = ["pt_langevin_chain"]
+
+
+def _chain_tile(v: Array) -> Array:
+    """Lay a per-chain ``(B,)`` vector out as the kernels' ``(8, lanes)`` tile
+    (chain ``c`` at sublane ``c // lanes``, lane ``c % lanes`` — the same map
+    as :func:`chains_to_tiles`)."""
+    b = v.shape[0]
+    padded = -(-b // (8 * _LANE)) * (8 * _LANE)
+    return jnp.pad(v, (0, padded - b)).reshape(8, padded // 8)
+
+
+def _pt_chain_kernel(
+    seed_ref,
+    x_ref,
+    means_ref,
+    out_ref,
+    acc_ref,
+    *,
+    n_steps,
+    swap_every,
+    step_size,
+    noise_coef,
+    betas,
+    inv_var,
+    n_components,
+    d,
+    clamp,
+    noise_steps,
+):
+    """In-kernel-PRNG PT chain. ``betas`` is the static ladder tuple (baked)."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]
+    R = len(betas)
+    rows = 8 * d
+    n_sweeps = n_steps // swap_every
+    rem = n_steps - n_sweeps * swap_every
+
+    def split_reps(x):
+        return [
+            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
+        ]
+
+    def langevin_all(x):
+        reps = split_reps(x)
+        new = []
+        for r in range(R):
+            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
+            eps = _normal_tiles(reps[r][0].shape, d)
+            cs = [
+                reps[r][j] - (step_size * betas[r]) * grads[j] + noise_coef * eps[j]
+                for j in range(d)
+            ]
+            if clamp is not None:
+                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
+            new.extend(cs)
+        return jnp.concatenate(new, axis=0)
+
+    def swap(x, s):
+        reps = split_reps(x)
+        logps = [
+            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
+            for r in range(R)
+        ]
+        coords = [list(reps[r]) for r in range(R)]
+        acc_sum = jnp.zeros_like(logps[0][0:1, 0:1])
+        n_att = 0
+        for r in range(R - 1):
+            u = _uniform_from_bits(logps[r].shape)
+            if R > 2:
+                active = (s % 2) == (r % 2)
+            else:
+                active = r % 2 == 0
+            # delta = (beta_r - beta_{r+1}) (U_r - U_{r+1}); U = -logp + const
+            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
+            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
+            do = jnp.logical_and(active, u < p)
+            for j in range(d):
+                lo, hi = coords[r][j], coords[r + 1][j]
+                coords[r][j] = jnp.where(do, hi, lo)
+                coords[r + 1][j] = jnp.where(do, lo, hi)
+            e_lo, e_hi = logps[r], logps[r + 1]
+            logps[r] = jnp.where(do, e_hi, e_lo)
+            logps[r + 1] = jnp.where(do, e_lo, e_hi)
+            if R > 2:
+                # mean over pairs attempted this phase (phase has (R-1)//2 or
+                # R//2 - 1 + 1 pairs); accumulate masked and divide later
+                acc_sum = acc_sum + jnp.where(
+                    active, jnp.mean(p), 0.0
+                ) * jnp.ones_like(acc_sum)
+            else:
+                acc_sum = acc_sum + jnp.mean(p) * jnp.ones_like(acc_sum)
+                n_att += 1
+        if R > 2:
+            n_act = jnp.where(
+                (s % 2) == 0, (R - 1 + 1) // 2, (R - 1) // 2
+            ).astype(jnp.float32)
+            acc = acc_sum / jnp.maximum(n_act, 1.0)
+        else:
+            acc = acc_sum / float(n_att)
+        return jnp.concatenate(sum(coords, []), axis=0), acc
+
+    def sweep_body(s, carry):
+        x, acc = carry
+        for _ in range(swap_every):
+            x = langevin_all(x)
+        x, acc = swap(x, s)
+        return x, acc
+
+    acc0 = jnp.zeros((1, 1), jnp.float32)
+    x, acc = jax.lax.fori_loop(0, n_sweeps, sweep_body, (x_ref[...], acc0))
+    for _ in range(rem):
+        x = langevin_all(x)
+    out_ref[...] = x
+    acc_ref[0, 0] = acc[0, 0]
+
+
+def _pt_chain_noise_kernel(
+    x_ref,
+    means_ref,
+    noise_ref,
+    swapu_ref,
+    out_ref,
+    acc_ref,
+    *,
+    n_steps,
+    swap_every,
+    step_size,
+    noise_coef,
+    betas,
+    inv_var,
+    n_components,
+    d,
+    clamp,
+    noise_steps,
+):
+    """Injected-noise/uniform variant (exact-parity CI path).
+
+    ``noise_ref``: ``(n_steps, R·8d, block)`` Gaussian increments;
+    ``swapu_ref``: ``(n_sweeps, R-1, 8, block)`` exchange uniforms.
+    """
+    means = means_ref[...]
+    R = len(betas)
+    rows = 8 * d
+    n_sweeps = n_steps // swap_every
+    rem = n_steps - n_sweeps * swap_every
+
+    def split_reps(x):
+        return [
+            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
+        ]
+
+    def langevin_all(x, i):
+        et = noise_ref[pl.ds(i, 1)][0]
+        reps = split_reps(x)
+        eps_reps = split_reps(et)
+        new = []
+        for r in range(R):
+            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
+            cs = [
+                reps[r][j]
+                - (step_size * betas[r]) * grads[j]
+                + noise_coef * eps_reps[r][j]
+                for j in range(d)
+            ]
+            if clamp is not None:
+                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
+            new.extend(cs)
+        return jnp.concatenate(new, axis=0)
+
+    def swap(x, s):
+        reps = split_reps(x)
+        logps = [
+            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
+            for r in range(R)
+        ]
+        coords = [list(reps[r]) for r in range(R)]
+        us = swapu_ref[pl.ds(s, 1)][0]  # (R-1, 8, block)
+        for r in range(R - 1):
+            u = us[r]
+            if R > 2:
+                active = (s % 2) == (r % 2)
+            else:
+                active = r % 2 == 0
+            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
+            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
+            do = jnp.logical_and(active, u < p)
+            for j in range(d):
+                lo, hi = coords[r][j], coords[r + 1][j]
+                coords[r][j] = jnp.where(do, hi, lo)
+                coords[r + 1][j] = jnp.where(do, lo, hi)
+            e_lo, e_hi = logps[r], logps[r + 1]
+            logps[r] = jnp.where(do, e_hi, e_lo)
+            logps[r + 1] = jnp.where(do, e_lo, e_hi)
+        return jnp.concatenate(sum(coords, []), axis=0)
+
+    def sweep_body(s, x):
+        for t in range(swap_every):
+            x = langevin_all(x, s * swap_every + t)
+        return swap(x, s)
+
+    x = jax.lax.fori_loop(0, n_sweeps, sweep_body, x_ref[...])
+    for t in range(rem):
+        x = langevin_all(x, n_sweeps * swap_every + t)
+    out_ref[...] = x
+    acc_ref[0, 0] = jnp.float32(0.0)
+
+
+def pt_langevin_chain(
+    replicas: Array,
+    means: Array,
+    n_steps: int,
+    step_size: float,
+    noise_scale: float,
+    betas: Sequence[float],
+    swap_every: int,
+    *,
+    scale: float = 1.0,
+    log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
+    seed: Union[int, Array] = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
+    swap_uniform: Optional[Array] = None,
+    block_chains: int = 1 << 20,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Full n-step parallel-tempered Langevin ladder in ONE kernel launch.
+
+    ``replicas``: ``(R, B, d)`` — the full ladder state (replica 0 cold);
+    ``betas``: the R static inverse temperatures (baked into the trace);
+    remaining target arguments as :func:`~torchebm_tpu.ops.fused_langevin.mixture_langevin_chain`.
+    Every ``swap_every`` steps an even/odd adjacent-pair exchange sweep runs
+    in-kernel (phase alternates per sweep for R > 2; the single pair is
+    attempted every sweep for R == 2, matching
+    ``samplers/parallel_tempering.py::step``). Returns ``(ladder, acc)``:
+    the final ``(R, B, d)`` state and the mean accept probability of the last
+    attempted sweep (``swap_acceptance_rate``; 0.0 on the injected-noise
+    parity path).
+
+    ``noise``: ``(n_steps, R, B, d)`` Gaussian increments and ``swap_uniform``:
+    ``(n_sweeps, R-1, B)`` exchange uniforms replace the in-kernel PRNG for
+    exact-parity testing (both or neither).
+    """
+    R, n_chains, dim = replicas.shape
+    betas = tuple(float(b) for b in betas)
+    if len(betas) != R:
+        raise ValueError(f"betas has {len(betas)} entries for {R} replicas")
+    if R < 2:
+        raise ValueError("parallel tempering needs >= 2 replicas")
+    if swap_every < 1:
+        raise ValueError("swap_every must be >= 1")
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            f"pt_langevin_chain unrolls K*d in-kernel; K*d={k * dim}, d={dim} "
+            "exceeds the supported size (d<=64, K*d<=1024)"
+        )
+    if (noise is None) != (swap_uniform is None):
+        raise ValueError("pass both noise= and swap_uniform=, or neither")
+
+    n_sweeps = int(n_steps) // int(swap_every)
+    # tile each replica independently, stack along sublanes: (R·8d, lanes)
+    tiles = [chains_to_tiles(replicas[r])[0] for r in range(R)]
+    lanes = tiles[0].shape[1]
+    xt = jnp.concatenate(tiles, axis=0)
+    packed, n_comp = _pack_target(means, log_weights, precision)
+
+    staged = 0
+    if noise is not None:
+        # noise stages n_steps (R·8d, block) tensors; the swap uniforms a
+        # further ~n_sweeps/(R·d)-equivalent — bounded above by n_sweeps
+        staged = int(n_steps) + n_sweeps
+    block = _mixture_block(lanes, R * dim, block_chains, n_staged=staged)
+
+    rows = R * 8 * dim
+    grid = (lanes // block,)
+    kw = dict(
+        n_steps=int(n_steps),
+        swap_every=int(swap_every),
+        step_size=float(step_size),
+        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+        betas=betas,
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=n_comp,
+        d=int(dim),
+        clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
+        noise_steps=int(n_steps) if noise is not None else 0,
+    )
+    state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
+    means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    )
+    out_specs = (
+        state_spec,
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    )
+
+    if noise is None:
+        final, acc = pl.pallas_call(
+            functools.partial(_pt_chain_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                state_spec,
+                means_spec,
+            ],
+            out_specs=out_specs,
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), xt, packed)
+    else:
+        if noise.shape != (n_steps, R, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_steps, R, n_chains, dim)}, got {noise.shape}"
+            )
+        if swap_uniform.shape != (n_sweeps, R - 1, n_chains):
+            raise ValueError(
+                f"swap_uniform must have shape {(n_sweeps, R - 1, n_chains)}, "
+                f"got {swap_uniform.shape}"
+            )
+        nt = jnp.stack(
+            [
+                jnp.concatenate(
+                    [chains_to_tiles(noise[t, r])[0] for r in range(R)], axis=0
+                )
+                for t in range(int(n_steps))
+            ]
+        )
+        ut = jnp.stack(
+            [
+                jnp.stack([_chain_tile(swap_uniform[s, r]) for r in range(R - 1)])
+                for s in range(n_sweeps)
+            ]
+        )
+        noise_spec = pl.BlockSpec(
+            (int(n_steps), rows, block),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        swapu_spec = pl.BlockSpec(
+            (max(n_sweeps, 1), R - 1, 8, block),
+            lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        if n_sweeps == 0:
+            ut = jnp.zeros((1, R - 1, 8, lanes), jnp.float32)
+        final, acc = pl.pallas_call(
+            functools.partial(_pt_chain_noise_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[state_spec, means_spec, noise_spec, swapu_spec],
+            out_specs=out_specs,
+            interpret=interpret,
+        )(xt, packed, nt, ut)
+    ladder = jnp.stack(
+        [
+            tiles_to_chains(final[r * 8 * dim : (r + 1) * 8 * dim], n_chains, dim)
+            for r in range(R)
+        ]
+    )
+    return ladder, acc[0, 0]

@@ -15,7 +15,7 @@ via a pluggable SDE integrator (default Euler–Maruyama). ``step_size`` and
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -103,6 +103,123 @@ def _sched_table_arg(p, n_steps: int):
     if _concrete_scalar(p):
         return float(p)
     return jax.vmap(p.value)(jnp.arange(n_steps))
+
+
+# --------------------------------------------------------------------------
+# fused-dispatch table: ordered (predicate -> whole-chain kernel entry) rows.
+# Adding a kernel target = adding one row here; the dispatch-matrix tests
+# (tests/samplers/test_langevin.py::TestFusedDispatch) exercise every row.
+# --------------------------------------------------------------------------
+
+
+class _FusedRow(NamedTuple):
+    """One fused-dispatch rule.
+
+    ``model_type``: exact model class the row handles (identity-matched — a
+    subclass may override ``energy`` and must not inherit the kernel).
+    ``supports(sampler)``: target-parameter gate (concreteness, in-kernel
+    unroll size caps) — evaluated by ``_fusable`` before any state exists.
+    ``kernel_kwargs(sampler, x0)``: state-shape gate + the target-specific
+    kernel arguments, or None to fall back to the scan path.
+    ``chain``/``trajectory``: attribute names in ``ops.fused_langevin``
+    (resolved at call time so tests can monkeypatch the module).
+    """
+
+    name: str
+    model_type: type
+    supports: Callable[["LangevinDynamics"], bool]
+    kernel_kwargs: Callable[["LangevinDynamics", Array], Optional[dict]]
+    chain: str
+    trajectory: str
+
+
+def _isotropic_scale(model) -> Optional[float]:
+    """σ if ``model`` is a concrete isotropic Gaussian (cov = σ²I), else None.
+
+    Shared by the Langevin and parallel-tempering fused dispatches."""
+    import numpy as np
+
+    if isinstance(model.cov, jax.core.Tracer) or isinstance(
+        model.mean, jax.core.Tracer
+    ):
+        return None
+    cov = np.asarray(model.cov)
+    var = float(cov[0, 0])
+    if var <= 0 or not np.allclose(cov, var * np.eye(cov.shape[0]), atol=1e-12):
+        return None
+    return float(np.sqrt(var))
+
+
+def _dw_supports(s: "LangevinDynamics") -> bool:
+    return isinstance(s.model.barrier_height, (int, float)) and isinstance(
+        s.model.b, (int, float)
+    )
+
+
+def _dw_kwargs(s: "LangevinDynamics", x0: Array) -> Optional[dict]:
+    return dict(barrier_height=float(s.model.barrier_height), b=float(s.model.b))
+
+
+def _gaussian_supports(s: "LangevinDynamics") -> bool:
+    iso = s._isotropic_gaussian_scale()
+    if iso is not None and s.model.mean.ndim == 1 and s.model.mean.shape[-1] <= 64:
+        return True
+    return _gaussian_target(s.model) is not None
+
+
+def _gaussian_kwargs(s: "LangevinDynamics", x0: Array) -> Optional[dict]:
+    m = s.model
+    if x0.ndim != 2 or x0.shape[-1] != m.mean.shape[-1]:
+        return None
+    iso = s._isotropic_gaussian_scale()
+    if iso is not None:
+        return dict(means=m.mean[None, :], scale=iso)
+    return dict(means=m.mean[None, :], precision=m.cov_inv)
+
+
+def _mixture_supports(s: "LangevinDynamics") -> bool:
+    m = s.model
+    if isinstance(m.means, jax.core.Tracer) or isinstance(m.scale, jax.core.Tracer):
+        return False
+    k, d = m.means.shape
+    return d <= 64 and k * d <= 1024
+
+
+def _mixture_kwargs(s: "LangevinDynamics", x0: Array) -> Optional[dict]:
+    m = s.model
+    if x0.ndim != 2 or x0.shape[-1] != m.means.shape[-1]:
+        return None
+    return dict(means=m.means, scale=float(m.scale), log_weights=m.log_weights)
+
+
+#: ordered dispatch rows; first row whose ``model_type`` + ``supports`` match
+#: wins (the order only matters if two rows ever claim the same model type).
+FUSED_DISPATCH: Tuple[_FusedRow, ...] = (
+    _FusedRow(
+        "doublewell",
+        DoubleWellEnergy,
+        _dw_supports,
+        _dw_kwargs,
+        "doublewell_langevin_chain",
+        "doublewell_langevin_chain_trajectory",
+    ),
+    _FusedRow(
+        "gaussian",
+        GaussianEnergy,
+        _gaussian_supports,
+        _gaussian_kwargs,
+        "mixture_langevin_chain",
+        "mixture_langevin_chain_trajectory",
+    ),
+    _FusedRow(
+        "mixture",
+        GaussianMixtureEnergy,
+        _mixture_supports,
+        _mixture_kwargs,
+        "mixture_langevin_chain",
+        "mixture_langevin_chain_trajectory",
+    ),
+)
 
 
 @struct.dataclass
@@ -197,6 +314,13 @@ class LangevinDynamics(BaseSampler):
             return False
         return isinstance(self.model, WrappedEnergy) and self.model.arch == "silu_mlp"
 
+    def _fused_row(self) -> Optional[_FusedRow]:
+        """The :data:`FUSED_DISPATCH` row claiming this sampler's model, if any."""
+        for row in FUSED_DISPATCH:
+            if type(self.model) is row.model_type and row.supports(self):
+                return row
+        return None
+
     def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs) -> bool:
         """Whether this exact call maps onto a whole-chain Pallas kernel.
 
@@ -209,14 +333,14 @@ class LangevinDynamics(BaseSampler):
         constant and scheduled chains (every kept state DMA'd to HBM
         in-kernel — the SMEM schedule table and the trajectory DMA compose;
         mean/var/energy then computed from the kernel trajectory), no
-        conditioning, and an
-        analytic energy the kernels know (:class:`DoubleWellEnergy`, d-dim
-        isotropic :class:`GaussianMixtureEnergy` with K·d ≤ 1024, and any
-        concrete :class:`GaussianEnergy` — isotropic covariances ride the
-        1-component mixture kernel, full covariances with d ≤ 32 the
-        precision-packed Gaussian evaluator). ``clamp`` is supported (folded
-        into the kernels). ``fused="off"`` disables; ``"force"`` skips the
-        TPU-backend check (kernel-stub tests).
+        conditioning, and an analytic energy one of the :data:`FUSED_DISPATCH`
+        rows claims (:class:`DoubleWellEnergy`, d-dim isotropic
+        :class:`GaussianMixtureEnergy` with K·d ≤ 1024, and any concrete
+        :class:`GaussianEnergy` — isotropic covariances ride the 1-component
+        mixture kernel, full covariances with d ≤ 32 the precision-packed
+        Gaussian evaluator). ``clamp`` is supported (folded into the kernels).
+        ``fused="off"`` disables; ``"force"`` skips the TPU-backend check
+        (kernel-stub tests).
         """
         if self.fused == "off":
             return False
@@ -230,23 +354,7 @@ class LangevinDynamics(BaseSampler):
             return False
         if not _sched_concrete(self.step_size) or not _sched_concrete(self.noise_scale):
             return False
-        if type(self.model) is DoubleWellEnergy:
-            return isinstance(self.model.barrier_height, (int, float)) and isinstance(
-                self.model.b, (int, float)
-            )
-        if type(self.model) is GaussianMixtureEnergy:
-            if isinstance(self.model.means, jax.core.Tracer) or isinstance(
-                self.model.scale, jax.core.Tracer
-            ):
-                return False
-            k, d = self.model.means.shape
-            return d <= 64 and k * d <= 1024
-        if type(self.model) is GaussianEnergy:
-            return (
-                self._isotropic_gaussian_scale() is not None
-                or _gaussian_target(self.model) is not None
-            )
-        return False
+        return self._fused_row() is not None
 
     def _fused_diagnostics(self, traj):
         """Per-kept-slot diagnostics computed from the kernel trajectory.
@@ -261,16 +369,7 @@ class LangevinDynamics(BaseSampler):
 
     def _isotropic_gaussian_scale(self):
         """σ if ``model`` is a concrete isotropic Gaussian (cov = σ²I), else None."""
-        import numpy as np
-
-        m = self.model
-        if isinstance(m.cov, jax.core.Tracer) or isinstance(m.mean, jax.core.Tracer):
-            return None
-        cov = np.asarray(m.cov)
-        var = float(cov[0, 0])
-        if var <= 0 or not np.allclose(cov, var * np.eye(cov.shape[0]), atol=1e-12):
-            return None
-        return float(np.sqrt(var))
+        return _isotropic_scale(self.model)
 
     def sample(
         self,
@@ -331,130 +430,33 @@ class LangevinDynamics(BaseSampler):
         if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
             from ..ops import fused_langevin as ops
 
+            row = self._fused_row()
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
-            seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
-            interpret = self.fused == "force" and jax.default_backend() != "tpu"
-            ss = _sched_table_arg(self.step_size, n_steps)
-            ns = _sched_table_arg(self.noise_scale, n_steps)
-            if return_trajectory or return_diagnostics:
-                res = None
-                if n_steps // thin >= 1:
-                    if type(self.model) is DoubleWellEnergy:
-                        res = ops.doublewell_langevin_chain_trajectory(
-                            x0,
-                            n_steps,
-                            ss,
-                            ns,
-                            thin=thin,
-                            barrier_height=float(self.model.barrier_height),
-                            b=float(self.model.b),
-                            seed=seed,
-                            clamp=self.clamp,
-                            interpret=interpret,
-                        )
-                    elif type(self.model) is GaussianEnergy:
-                        if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
-                            iso = self._isotropic_gaussian_scale()
-                            if iso is not None:
-                                res = ops.mixture_langevin_chain_trajectory(
-                                    x0,
-                                    self.model.mean[None, :],
-                                    n_steps,
-                                    ss,
-                                    ns,
-                                    thin=thin,
-                                    scale=iso,
-                                    seed=seed,
-                                    clamp=self.clamp,
-                                    interpret=interpret,
-                                )
-                            else:
-                                res = ops.mixture_langevin_chain_trajectory(
-                                    x0,
-                                    self.model.mean[None, :],
-                                    n_steps,
-                                    ss,
-                                    ns,
-                                    thin=thin,
-                                    precision=self.model.cov_inv,
-                                    seed=seed,
-                                    clamp=self.clamp,
-                                    interpret=interpret,
-                                )
-                    elif x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
-                        res = ops.mixture_langevin_chain_trajectory(
-                            x0,
-                            self.model.means,
-                            n_steps,
-                            ss,
-                            ns,
-                            thin=thin,
-                            scale=float(self.model.scale),
-                            log_weights=self.model.log_weights,
-                            seed=seed,
-                            clamp=self.clamp,
-                            interpret=interpret,
-                        )
-                if res is not None:
-                    traj, final = res
+            kargs = row.kernel_kwargs(self, x0)
+            if kargs is not None and (
+                not (return_trajectory or return_diagnostics) or n_steps // thin >= 1
+            ):
+                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+                common = dict(
+                    n_steps=int(n_steps),
+                    step_size=_sched_table_arg(self.step_size, n_steps),
+                    noise_scale=_sched_table_arg(self.noise_scale, n_steps),
+                    seed=seed,
+                    clamp=self.clamp,
+                    interpret=self.fused == "force"
+                    and jax.default_backend() != "tpu",
+                )
+                if return_trajectory or return_diagnostics:
+                    traj, final = getattr(ops, row.trajectory)(
+                        x0, thin=int(thin), **kargs, **common
+                    )
                     out = jnp.moveaxis(traj, 0, 1) if return_trajectory else final
                     if not return_diagnostics:
                         return out
                     return out, self._fused_diagnostics(traj)
-                # unsupported shape / n_steps < thin: fall through to the scan
-            elif type(self.model) is DoubleWellEnergy:
-                return ops.doublewell_langevin_chain(
-                    x0,
-                    n_steps,
-                    ss,
-                    ns,
-                    barrier_height=float(self.model.barrier_height),
-                    b=float(self.model.b),
-                    seed=seed,
-                    clamp=self.clamp,
-                    interpret=interpret,
-                )
-            elif type(self.model) is GaussianEnergy:
-                if x0.ndim == 2 and x0.shape[-1] == self.model.mean.shape[-1]:
-                    iso = self._isotropic_gaussian_scale()
-                    if iso is not None:
-                        return ops.mixture_langevin_chain(
-                            x0,
-                            self.model.mean[None, :],
-                            n_steps,
-                            ss,
-                            ns,
-                            scale=iso,
-                            seed=seed,
-                            clamp=self.clamp,
-                            interpret=interpret,
-                        )
-                    return ops.mixture_langevin_chain(
-                        x0,
-                        self.model.mean[None, :],
-                        n_steps,
-                        ss,
-                        ns,
-                        precision=self.model.cov_inv,
-                        seed=seed,
-                        clamp=self.clamp,
-                        interpret=interpret,
-                    )
-            elif x0.ndim == 2 and x0.shape[-1] == self.model.means.shape[-1]:
-                return ops.mixture_langevin_chain(
-                    x0,
-                    self.model.means,
-                    n_steps,
-                    ss,
-                    ns,
-                    scale=float(self.model.scale),
-                    log_weights=self.model.log_weights,
-                    seed=seed,
-                    clamp=self.clamp,
-                    interpret=interpret,
-                )
-            # unsupported state shape: fall through to the scan path
+                return getattr(ops, row.chain)(x0, **kargs, **common)
+            # unsupported state shape / n_steps < thin: fall through to the scan
         if (
             self.noise_block > 1
             and thin == 1

@@ -69,6 +69,10 @@ class ParallelTemperingLangevin(BaseSampler):
     noise_scale: Union[float, BaseScheduler] = 1.0
     swap_every: int = struct.field(pytree_node=False, default=5)
     clamp: Optional[Tuple[float, float]] = struct.field(pytree_node=False, default=None)
+    #: whole-ladder Pallas kernel dispatch ("auto"/"off"/"force") — eager TPU
+    #: calls on mixture-family targets run the entire replica ladder,
+    #: including the exchange sweeps, in ONE kernel (``ops/fused_pt.py``).
+    fused: str = struct.field(pytree_node=False, default="auto")
 
     def __post_init__(self):
         temps = tuple(float(t) for t in self.temperatures)
@@ -82,6 +86,10 @@ class ParallelTemperingLangevin(BaseSampler):
             raise ValueError("swap_every must be >= 1")
         if self.clamp is not None and self.clamp[0] >= self.clamp[1]:
             raise ValueError(f"clamp min must be < max, got {self.clamp}")
+        if self.fused not in ("auto", "off", "force"):
+            raise ValueError(
+                f"fused must be 'auto', 'off' or 'force', got {self.fused!r}"
+            )
         object.__setattr__(self, "temperatures", temps)
 
     # ------------------------------------------------------------------
@@ -164,6 +172,106 @@ class ParallelTemperingLangevin(BaseSampler):
 
     def extra_diagnostics(self, carry, model_kwargs):
         return {"swap_acceptance_rate": carry["swap_accept"]}
+
+    # ------------------------------------------------------ fused fast path
+
+    def _isotropic_gaussian_scale(self):
+        from .langevin import _isotropic_scale
+
+        return _isotropic_scale(self.model)
+
+    def _fused_row(self):
+        """The mixture-family :data:`~torchebm_tpu.samplers.langevin.FUSED_DISPATCH`
+        row claiming this model, if any — the PT ladder kernel shares the
+        in-kernel target evaluators with the mixture chain kernels, so
+        double-well (a different kernel family) stays on the scan path."""
+        from .langevin import FUSED_DISPATCH
+
+        for row in FUSED_DISPATCH:
+            if row.chain != "mixture_langevin_chain":
+                continue
+            if type(self.model) is row.model_type and row.supports(self):
+                return row
+        return None
+
+    def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs):
+        """Whole-ladder kernel gate: eager single-program calls, constant
+        concrete step/noise, no conditioning/trajectory/diagnostics, and a
+        mixture-family target (isotropic mixture with K·d ≤ 1024, or any
+        concrete Gaussian — full covariances with d ≤ 32 via the
+        precision-packed evaluator). Same conventions as
+        :meth:`LangevinDynamics._fusable`."""
+        from .base import _concrete_scalar
+
+        if self.fused == "off":
+            return False
+        if self.fused != "force" and jax.default_backend() != "tpu":
+            return False
+        if model_kwargs or return_trajectory or return_diagnostics:
+            return False
+        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
+            return False
+        if not _concrete_scalar(self.step_size) or not _concrete_scalar(
+            self.noise_scale
+        ):
+            return False
+        return self._fused_row() is not None
+
+    def sample(
+        self,
+        key: Array,
+        x: Optional[Array] = None,
+        dim=None,
+        n_steps: int = 100,
+        n_samples: int = 1,
+        thin: int = 1,
+        return_trajectory: bool = False,
+        return_diagnostics: bool = False,
+        *,
+        model_kwargs=None,
+    ):
+        """Run the tempered ladder and return the cold chain; eager TPU calls
+        on mixture-family targets dispatch the whole ladder — Langevin steps
+        AND exchange sweeps — to :func:`torchebm_tpu.ops.fused_pt.pt_langevin_chain`
+        (one kernel launch, state never leaves VMEM)."""
+        if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
+            from ..ops import fused_pt as ops_pt
+
+            row = self._fused_row()
+            key_init, key_run = jax.random.split(key)
+            x0 = self._init_state(key_init, x, dim, n_samples)
+            kargs = row.kernel_kwargs(self, x0)
+            if kargs is not None:
+                seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
+                replicas = jnp.broadcast_to(
+                    x0[None], (self.n_replicas,) + x0.shape
+                )
+                ladder, _ = ops_pt.pt_langevin_chain(
+                    replicas,
+                    n_steps=int(n_steps),
+                    step_size=float(self.step_size),
+                    noise_scale=float(self.noise_scale),
+                    betas=tuple(1.0 / t for t in self.temperatures),
+                    swap_every=int(self.swap_every),
+                    seed=seed,
+                    clamp=self.clamp,
+                    interpret=self.fused == "force"
+                    and jax.default_backend() != "tpu",
+                    **kargs,
+                )
+                return ladder[0]
+            # unsupported state shape: fall through to the scan path
+        return super().sample(
+            key,
+            x=x,
+            dim=dim,
+            n_steps=n_steps,
+            n_samples=n_samples,
+            thin=thin,
+            return_trajectory=return_trajectory,
+            return_diagnostics=return_diagnostics,
+            model_kwargs=model_kwargs,
+        )
 
     # ------------------------------------------------------------- replicas
 
