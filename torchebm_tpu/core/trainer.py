@@ -104,8 +104,12 @@ class BaseTrainer:
         if stateful_loss is None:
             stateful_loss = isinstance(loss_fn, ContrastiveDivergence)
         self.stateful_loss = stateful_loss
-        self._jitted_step = jax.jit(self._train_step, donate_argnums=(0,))
-        self._jitted_epoch = jax.jit(self._scan_epoch, donate_argnums=(0,))
+        self._jitted_step = jax.jit(
+            self._train_step, donate_argnums=(0,), static_argnums=(2,)
+        )
+        self._jitted_epoch = jax.jit(
+            self._scan_epoch, donate_argnums=(0,), static_argnums=(2,)
+        )
 
     # ------------------------------------------------------------------
 
@@ -127,7 +131,38 @@ class BaseTrainer:
     def compute_metrics(self, loss: Array, aux: Any, params: Any, x: Array, mk) -> Dict[str, Array]:
         return {"loss": loss}
 
-    def _train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
+    @staticmethod
+    def _param_shardings(params: Any) -> Optional[tuple]:
+        """Hashable per-leaf ``NamedSharding`` tuple for ``params`` (leaf
+        order), or None when nothing is mesh-sharded. Passed as a STATIC arg
+        into the jitted step so the optimizer update cannot silently
+        reshard/replicate fsdp-sharded parameters (XLA is free to pick output
+        shardings unless constrained)."""
+        from jax.sharding import NamedSharding
+
+        leaves = jax.tree_util.tree_leaves(params)
+        shardings = tuple(
+            s if isinstance(s := getattr(a, "sharding", None), NamedSharding) else None
+            for a in leaves
+        )
+        return shardings if any(s is not None for s in shardings) else None
+
+    @staticmethod
+    def _constrain(params: Any, shardings: Optional[tuple]) -> Any:
+        if shardings is None:
+            return params
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                jax.lax.with_sharding_constraint(l, s) if s is not None else l
+                for l, s in zip(leaves, shardings)
+            ],
+        )
+
+    def _train_step(
+        self, state: TrainState, batch, shardings: Optional[tuple] = None
+    ) -> Tuple[TrainState, Dict[str, Array]]:
         x, mk = _split_batch(batch)
         key, sub = jax.random.split(state.key)
 
@@ -145,9 +180,11 @@ class BaseTrainer:
             aux, new_loss_state = None, state.loss_state
 
         updates, opt_state = self.optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params = self._constrain(optax.apply_updates(state.params, updates), shardings)
         ema = (
-            update_ema(state.ema_params, params, self.ema_decay)
+            self._constrain(
+                update_ema(state.ema_params, params, self.ema_decay), shardings
+            )
             if self.ema_decay is not None
             else None
         )
@@ -163,8 +200,14 @@ class BaseTrainer:
         return new_state, metrics
 
     def train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict[str, Array]]:
-        """One jitted, state-donating optimization step."""
-        return self._jitted_step(state, batch)
+        """One jitted, state-donating optimization step.
+
+        Mesh-sharded parameters (e.g. :func:`~torchebm_tpu.parallel.fsdp_shard_params`)
+        keep their shardings through the update — the input state's per-leaf
+        ``NamedSharding``\\ s are read eagerly and pinned inside the step with
+        ``with_sharding_constraint``.
+        """
+        return self._jitted_step(state, batch, self._param_shardings(state.params))
 
     # ------------------------------------------------------------------
 
@@ -192,9 +235,9 @@ class BaseTrainer:
         self._fire("on_epoch_end", state, reduced)
         return state, reduced
 
-    def _scan_epoch(self, state: TrainState, batches):
+    def _scan_epoch(self, state: TrainState, batches, shardings: Optional[tuple] = None):
         def body(st, batch):
-            return self._train_step(st, batch)
+            return self._train_step(st, batch, shardings)
 
         state, metrics = jax.lax.scan(body, state, batches)
         return state, {k: jnp.mean(v) for k, v in metrics.items()}
@@ -218,7 +261,9 @@ class BaseTrainer:
         between steps) — epoch-level hooks still do.
         """
         self._fire("on_epoch_start", state)
-        state, reduced_dev = self._jitted_epoch(state, batches)
+        state, reduced_dev = self._jitted_epoch(
+            state, batches, self._param_shardings(state.params)
+        )
         reduced = {k: float(v) for k, v in reduced_dev.items()}
         logger.info("epoch done (step=%d): %s", int(state.step), reduced)
         self._fire("on_epoch_end", state, reduced)
@@ -288,7 +333,7 @@ class BaseTrainer:
         if template.ema_params is not None:
             payload_t["ema_params"] = template.ema_params
         payload = load_checkpoint(ckpt_dir, step, template=payload_t)
-        return TrainState(
+        state = TrainState(
             params=payload["params"],
             opt_state=payload["opt_state"],
             step=jnp.int32(payload["step"]),
@@ -296,6 +341,40 @@ class BaseTrainer:
             ema_params=payload.get("ema_params"),
             loss_state=payload["extra"]["loss_state"],
         )
+        return self._align_state_mesh(state)
+
+    @staticmethod
+    def _align_state_mesh(state: TrainState) -> TrainState:
+        """Replicate non-mesh leaves onto the params' mesh after a restore.
+
+        Orbax commits every restored array to its template sharding; scalar
+        leaves restored without one (step counter, PRNG key) land on a single
+        device, and a jitted step then rejects the mixed device sets. When the
+        params are mesh-sharded, every leaf without a ``NamedSharding`` is
+        replicated onto that mesh so the restored state is steppable as-is.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = next(
+            (
+                s.mesh
+                for leaf in jax.tree_util.tree_leaves(state.params)
+                if isinstance(s := getattr(leaf, "sharding", None), NamedSharding)
+            ),
+            None,
+        )
+        if mesh is None:
+            return state
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def fix(leaf):
+            if isinstance(leaf, jax.Array) and not isinstance(
+                leaf.sharding, NamedSharding
+            ):
+                return jax.device_put(leaf, rep)
+            return leaf
+
+        return jax.tree_util.tree_map(fix, state)
 
     def restore_or_init(
         self,

@@ -100,12 +100,37 @@ def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def _restore_args(template: Any):
+    """Per-leaf Orbax restore args carrying the template's SHARDINGS.
+
+    Every ``jax.Array`` leaf restores directly onto its template sharding
+    (fsdp/batch ``NamedSharding`` on a mesh, or single-device) — the
+    preemption-safe mesh-resume path. Without this Orbax restores host-side
+    and warns "Sharding info not provided… unsafe when restoring on a
+    different topology"; with it, restore is sharding-aware end to end.
+    """
+    import orbax.checkpoint as ocp
+
+    def leaf(x):
+        if isinstance(x, jax.Array):
+            return ocp.ArrayRestoreArgs(
+                sharding=x.sharding, global_shape=x.shape, dtype=x.dtype
+            )
+        return ocp.RestoreArgs()
+
+    return jax.tree_util.tree_map(leaf, template)
+
+
 def load_checkpoint(
     ckpt_dir: str, step: Optional[int] = None, *, template: Any = None
 ) -> Dict[str, Any]:
     """Load a checkpoint dict (latest step when ``step`` is None).
 
-    ``template`` (a payload-shaped pytree) restores exact array types/dtypes.
+    ``template`` (a payload-shaped pytree) restores exact array types/dtypes
+    AND placements: every array leaf is restored onto the template leaf's
+    sharding (see :func:`_restore_args`), so an fsdp-sharded
+    :class:`~torchebm_tpu.core.trainer.TrainState` resumes directly onto its
+    mesh with no host-side detour.
     """
     if step is None:
         step = latest_checkpoint_step(ckpt_dir)
@@ -113,5 +138,26 @@ def load_checkpoint(
             raise FileNotFoundError(f"No checkpoints found under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{int(step):08d}")
     if template is not None:
-        return _checkpointer().restore(path, item=template)
-    return _checkpointer().restore(path)
+        return _checkpointer().restore(
+            path, item=template, restore_args=_restore_args(template)
+        )
+    # Template-less convenience load: no topology expectation exists, so
+    # restore array leaves host-side (numpy) from the checkpoint's own
+    # metadata and re-device them — avoids Orbax's "sharding info not
+    # provided … unsafe on a different topology" file-sharding path.
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    meta = _checkpointer().metadata(path).item_metadata.tree
+
+    def leaf(m):
+        if isinstance(m, ocp.metadata.ScalarMetadata):
+            return ocp.RestoreArgs()
+        if isinstance(m, ocp.metadata.ArrayMetadata):
+            return ocp.ArrayRestoreArgs(restore_type=np.ndarray)
+        return ocp.RestoreArgs()
+
+    payload = _checkpointer().restore(path, restore_args=jax.tree_util.tree_map(leaf, meta))
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, payload
+    )
