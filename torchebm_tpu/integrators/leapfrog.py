@@ -78,7 +78,9 @@ class LeapfrogIntegrator(BaseSymplecticIntegrator):
         if safe:
             x_new = jnp.nan_to_num(x_new, nan=0.0, posinf=self.SAFE_CLAMP, neginf=-self.SAFE_CLAMP)
             p_new = jnp.nan_to_num(p_new, nan=0.0, posinf=self.SAFE_CLAMP, neginf=-self.SAFE_CLAMP)
-        return {"x": x_new, "p": p_new, "force": f_new}
+        # preserve the caller's state dtype: an f32 force (f32 model params)
+        # must not promote a bf16 (x, p) carry out of the trajectory scan
+        return {"x": x_new.astype(x.dtype), "p": p_new.astype(p.dtype), "force": f_new}
 
     def integrate(
         self,

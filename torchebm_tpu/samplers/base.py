@@ -144,8 +144,17 @@ def _sample_impl(
 
     carry0 = sampler.init_carry(x0, jax.random.fold_in(key, n_steps), model_kwargs)
 
+    # The chain preserves the caller's state dtype: a bf16 x0 stays bf16 even
+    # when f32 model parameters or scheduler scalars promote intermediate
+    # math (without this the scan carry would change dtype and fail to
+    # trace). Mixed-precision contract pinned in tests/test_bf16_battery.py.
+    carry_dtypes = jax.tree_util.tree_map(lambda a: jnp.asarray(a).dtype, carry0)
+
     def one_step(i, carry):
-        return sampler.step(carry, i, jax.random.fold_in(key, i), model_kwargs)
+        new = sampler.step(carry, i, jax.random.fold_in(key, i), model_kwargs)
+        return jax.tree_util.tree_map(
+            lambda a, d: jnp.asarray(a).astype(d), new, carry_dtypes
+        )
 
     def outer(carry, k):
         start = k * thin
