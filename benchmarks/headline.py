@@ -175,6 +175,51 @@ def bench_annealed_traj(iters: int) -> dict:
     }
 
 
+def bench_pt_8gaussians(iters: int) -> dict:
+    """Parallel-tempered Langevin on 8gaussians: whole-ladder fused kernel
+    (``ops/fused_pt.py`` — Langevin steps AND exchange sweeps in one launch,
+    round-5 verdict item 3) vs the compiled scan on the identical workload."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchebm_tpu.core import GaussianMixtureEnergy
+    from torchebm_tpu.samplers import ParallelTemperingLangevin
+
+    chains = 10_000
+    temps = (1.0, 1.6, 2.56, 4.1)
+    key = jax.random.PRNGKey(0)
+    mix = GaussianMixtureEnergy.eight_gaussians()
+
+    def make(fused):
+        return ParallelTemperingLangevin(
+            mix, temperatures=temps, step_size=0.05, swap_every=5, fused=fused
+        )
+
+    def run(sampler):
+        def go(n, i):
+            cold = sampler.sample(
+                jax.random.fold_in(key, i), dim=2, n_samples=chains, n_steps=n
+            )
+            return jnp.sum(cold)  # scalar fence
+
+        return go
+
+    per_fused = _slope_time(run(make("auto")), 10_000, 200_000, iters)
+    per_scan = _slope_time(run(make("off")), 1_000, 11_000, iters)
+    r = len(temps)
+    return {
+        "fused_per_step_s": per_fused,
+        "scan_per_step_s": per_scan,
+        "fused_speedup": per_scan / per_fused,
+        # one "step" advances the full ladder: R x chains replica-updates
+        "replica_updates_per_s": r * chains / per_fused,
+        "config": (
+            f"{chains} chains x {r} replicas, 8gaussians, swap_every=5, "
+            "even/odd exchange"
+        ),
+    }
+
+
 def bench_hmc_ess(iters: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -285,7 +330,7 @@ def bench_mala_ess(iters: int) -> dict:
 
 def _cd_step_factory(energy_net, data_shape, batch, k_steps, step_size,
                      persistent, buffer_size, key, clamp=None,
-                     fused_neural="off"):
+                     fused_neural="off", state_dtype=None):
     import jax
     import optax
 
@@ -304,6 +349,12 @@ def _cd_step_factory(energy_net, data_shape, batch, k_steps, step_size,
         persistent=persistent, buffer_size=buffer_size, init_steps=0,
     )
     buffer = cd.init_buffer(key, data_shape) if persistent else None
+    if state_dtype is not None and buffer is not None:
+        # end-to-end reduced-precision chain state: buffer AND data carry
+        # state_dtype, so the k-step MCMC never touches f32 activations of
+        # the state (the r5 PCD optimization; the sampling loop preserves
+        # the caller's state dtype)
+        buffer = buffer.replace(samples=buffer.samples.astype(state_dtype))
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
@@ -314,6 +365,8 @@ def _cd_step_factory(energy_net, data_shape, batch, k_steps, step_size,
         return optax.apply_updates(p, u), s, b2, l
 
     data = jax.random.normal(key, (batch, *data_shape))
+    if state_dtype is not None:
+        data = data.astype(state_dtype)
 
     def run(n, i):
         """Chain n train steps (state threaded, one fetch at the end)."""
@@ -410,14 +463,16 @@ def bench_pcd_mnist_bf16(iters: int) -> dict:
         ConvEnergy2D(channels=(32, 64, 64), dtype=jnp.bfloat16), (1, 28, 28),
         batch=64, k_steps=40, step_size=10.0, persistent=True,
         buffer_size=4096, key=key, clamp=(-1.0, 1.0),
+        state_dtype=jnp.bfloat16,
     )
     per_step = _slope_time(run, 5, 55, iters)
     per_dev = _slope_time(run_scan, 20, 620, iters)
     return {"steps_per_s": 1.0 / per_step, "per_step_s": per_step,
             "device_us_per_step": per_dev * 1e6,
             "device_steps_per_s": 1.0 / per_dev,
-            **mfu(per_step, peak="bf16"),
-            "config": "PCD k=40, ConvEnergy2D bf16 compute, batch 64, 28x28"}
+            **mfu(per_dev, peak="bf16"),
+            "config": ("PCD k=40, ConvEnergy2D bf16 END-TO-END "
+                       "(compute + chain state + buffer), batch 64, 28x28")}
 
 
 def bench_dit_step(iters: int) -> dict:
@@ -586,6 +641,169 @@ def bench_flow(iters: int) -> dict:
     }
 
 
+def bench_batch_scale(iters: int) -> dict:
+    """MFU-at-scale study (round-5 verdict item 6): the 2D configs are
+    latency-bound at their nominal batch sizes — these rows measure WHERE
+    that stops. Each row: device µs/step (in-program scan slope), MFU and
+    HBM-bandwidth share at that batch, for the CD-2D, EqM-flow and PCD-conv
+    train steps. Guidance curve for users sizing real workloads."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchebm_tpu.couplings import SinkhornCoupling
+    from torchebm_tpu.interpolants import LinearInterpolant
+    from torchebm_tpu.losses import EquilibriumMatchingLoss
+    from torchebm_tpu.models import ConvEnergy2D, MLPEnergy, MLPVelocityField
+    from torchebm_tpu.samplers.flow import WrappedField
+
+    key = jax.random.PRNGKey(0)
+    rows = []
+
+    def add_row(config, batch, run_scan, step_fn, step_args, lo, hi, peak="f32"):
+        per_dev = _slope_time(run_scan, lo, hi, iters)
+        row = {
+            "config": config,
+            "batch": batch,
+            "device_us_per_step": per_dev * 1e6,
+            "device_steps_per_s": 1.0 / per_dev,
+            "samples_per_s": batch / per_dev,
+            **_mfu_fields(step_fn, step_args, per_dev, peak),
+        }
+        rows.append(row)
+        print(f"  [batch_scale] {config} batch={batch}: "
+              f"{per_dev * 1e6:.1f} us/step")
+        jax.clear_caches()
+
+    # ---- CD-2D MLP(128,128), k=10 Langevin negatives
+    for batch, (lo, hi) in [(256, (100, 4100)), (4096, (50, 1050)),
+                            (65536, (5, 85))]:
+        run, run_scan, _ = _cd_step_factory(
+            MLPEnergy(hidden_dims=(128, 128)), (2,), batch=batch, k_steps=10,
+            step_size=0.01, persistent=False, buffer_size=0, key=key,
+        )
+        add_row("cd_2d_mlp", batch, run_scan, *_cd_cost_probe(batch, key), lo, hi)
+
+    # ---- EqM flow + Sinkhorn (cost matrix is O(B^2): capped at 16384)
+    net = MLPVelocityField(hidden_dims=(128, 128, 128))
+    params = net.init(key, jnp.zeros((1, 2)), jnp.zeros((1,)))
+    field = WrappedField(fn=net.apply, params=params)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    for batch, (lo, hi) in [(256, (200, 5200)), (2048, (50, 1050)),
+                            (16384, (3, 33))]:
+        loss = EquilibriumMatchingLoss(
+            model=field,
+            interpolant=LinearInterpolant(),
+            coupling=SinkhornCoupling(n_iters=50, reg=0.05),
+        )
+        data = jax.random.normal(key, (batch, 2)) + jnp.array([2.0, 0.0])
+
+        @jax.jit
+        def train_step(p, s, x, k):
+            l, g = jax.value_and_grad(lambda pp: loss(pp, x, k))(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        @jax.jit
+        def train_scan(p, s, x, k, n):
+            def body(i, carry):
+                pp, ss = carry
+                l, g = jax.value_and_grad(
+                    lambda q: loss(q, x, jax.random.fold_in(k, i))
+                )(pp)
+                u, ss = opt.update(g, ss)
+                return optax.apply_updates(pp, u), ss
+
+            p, s = jax.lax.fori_loop(0, n, body, (p, s))
+            return jax.tree_util.tree_reduce(lambda a, b: a + jnp.sum(b), p, 0.0)
+
+        run_scan = lambda n, i, _d=data: train_scan(
+            params, opt_state, _d, jax.random.fold_in(key, i), jnp.int32(n)
+        )
+        add_row("eqm_flow_sinkhorn", batch, run_scan, train_step,
+                (params, opt_state, data, key), lo, hi)
+
+    # ---- PCD conv 28x28, k=40
+    for batch, (lo, hi) in [(64, (20, 620)), (512, (10, 110)), (4096, (2, 18))]:
+        run, run_scan, _ = _cd_step_factory(
+            ConvEnergy2D(channels=(32, 64, 64)), (1, 28, 28), batch=batch,
+            k_steps=40, step_size=10.0, persistent=True,
+            buffer_size=max(4096, batch), key=key, clamp=(-1.0, 1.0),
+        )
+        add_row("pcd_conv_28x28", batch, run_scan,
+                *_pcd_cost_probe(batch, key), lo, hi)
+
+    return {"rows": rows, "config": "device-time batch-scaling study"}
+
+
+def _cd_cost_probe(batch, key):
+    """(step_fn, args) for cost analysis of the CD-2D step at ``batch``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchebm_tpu.core import as_energy
+    from torchebm_tpu.losses import ContrastiveDivergence
+    from torchebm_tpu.models import MLPEnergy
+    from torchebm_tpu.samplers import LangevinDynamics
+
+    net = MLPEnergy(hidden_dims=(128, 128))
+    params = net.init(key, jnp.zeros((1, 2)))
+    energy = as_energy(net, params)
+    cd = ContrastiveDivergence(
+        model=energy, sampler=LangevinDynamics(energy, step_size=0.01),
+        k_steps=10,
+    )
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, x, k):
+        (l, _), g = jax.value_and_grad(lambda pp: cd(pp, x, k), has_aux=True)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    data = jax.random.normal(key, (batch, 2))
+    return step, (params, opt_state, data, key)
+
+
+def _pcd_cost_probe(batch, key):
+    """(step_fn, args) for cost analysis of the PCD-conv step at ``batch``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from torchebm_tpu.core import as_energy
+    from torchebm_tpu.losses import ContrastiveDivergence
+    from torchebm_tpu.models import ConvEnergy2D
+    from torchebm_tpu.samplers import LangevinDynamics
+
+    net = ConvEnergy2D(channels=(32, 64, 64))
+    params = net.init(key, jnp.zeros((1, 1, 28, 28)))
+    energy = as_energy(net, params)
+    cd = ContrastiveDivergence(
+        model=energy,
+        sampler=LangevinDynamics(energy, step_size=10.0, clamp=(-1.0, 1.0)),
+        k_steps=40, persistent=True, buffer_size=max(4096, batch),
+        init_steps=0,
+    )
+    buffer = cd.init_buffer(key, (1, 28, 28))
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, b, x, k):
+        (l, (_, b2)), g = jax.value_and_grad(
+            lambda pp: cd(pp, x, k, b), has_aux=True
+        )(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, b2, l
+
+    data = jax.random.normal(key, (batch, 1, 28, 28))
+    return step, (params, opt_state, buffer, data, key)
+
+
 BENCHES = {
     "langevin_8gaussians": bench_langevin,
     "annealed_traj": bench_annealed_traj,
@@ -597,6 +815,8 @@ BENCHES = {
     "pcd_mnist_conv_bf16": bench_pcd_mnist_bf16,
     "dit_step": bench_dit_step,
     "flow": bench_flow,
+    "pt_8gaussians": bench_pt_8gaussians,
+    "batch_scale": bench_batch_scale,
 }
 
 

@@ -224,3 +224,15 @@ def test_cd_training_quality_bf16(key):
     )
     for leaf in jax.tree_util.tree_leaves(params):
         assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+def test_bf16_state_preserved_on_noise_block_path(key):
+    """The block-noise fast path (noise_block>1) preserves a bf16 chain state
+    too (regression: its scan carry promoted to f32 and failed to trace)."""
+    sampler = LangevinDynamics(
+        GaussianEnergy.standard(2), step_size=0.05, noise_block=4
+    )
+    x0 = jax.random.normal(key, (16, 2)).astype(jnp.bfloat16)
+    out = sampler.sample(jax.random.fold_in(key, 1), x=x0, n_steps=12)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))

@@ -61,15 +61,25 @@ class ConvEnergy2D(nn.Module):
     NCHW interface (library convention); internally NHWC, the TPU-native conv
     layout. Strided SiLU convs + dense head — the standard PCD image-EBM
     architecture (swish convnet, e.g. Du & Mordatch 2019).
+
+    ``data_format="NHWC"`` accepts channels-last input directly — for
+    MCMC-in-the-loss training (PCD) the chain state, buffer and data can then
+    live in the conv-native layout end to end, skipping the per-evaluation
+    transpose pair (~82 per PCD step at k=40; the transpose of the input IS
+    re-laid-out by XLA, it is not free).
     """
 
     channels: Sequence[int] = (32, 64, 64)
     dense_dim: int = 128
     dtype: jnp.dtype = jnp.float32
+    data_format: str = "NCHW"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NCHW -> NHWC
+        if self.data_format == "NHWC":
+            h = x.astype(self.dtype)
+        else:
+            h = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)  # NCHW -> NHWC
         for ch in self.channels:
             h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME", dtype=self.dtype)(h)
             h = nn.silu(h)

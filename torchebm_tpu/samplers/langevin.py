@@ -60,10 +60,12 @@ def _block_noise_impl(sampler, x0, key, n_steps, block, model_kwargs):
         h = sched_value(sampler.step_size, i)
         ns = sched_value(sampler.noise_scale, i)
         g = sampler.gradient_of(x, model_kwargs, step=i)
-        x = x - h * g + ns * jnp.sqrt(2.0 * h) * eps
+        new = x - h * g + ns * jnp.sqrt(2.0 * h) * eps
         if sampler.clamp is not None:
-            x = jnp.clip(x, sampler.clamp[0], sampler.clamp[1])
-        return x
+            new = jnp.clip(new, sampler.clamp[0], sampler.clamp[1])
+        # preserve the caller's state dtype (f32 scheduler scalars / model
+        # params must not promote a bf16 chain out of the scan carry)
+        return new.astype(x.dtype)
 
     def outer(x, j):
         eps = jax.random.normal(jax.random.fold_in(key, j), (block, *x.shape), x.dtype)
