@@ -220,6 +220,49 @@ def bench_pt_8gaussians(iters: int) -> dict:
     }
 
 
+def bench_ais(iters: int) -> dict:
+    """AIS log-Z estimation on 8gaussians: whole-run kernel
+    (``ops/fused_ais.py`` — weight accumulation + every MALA transition in
+    one launch) vs the compiled scan; slope over rung count."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchebm_tpu.core import GaussianEnergy, GaussianMixtureEnergy
+    from torchebm_tpu.samplers import annealed_importance_sampling
+
+    chains = 4096
+    key = jax.random.PRNGKey(0)
+    mix = GaussianMixtureEnergy.eight_gaussians()
+    base = GaussianEnergy.create(jnp.zeros(2), 9.0 * jnp.eye(2))
+
+    def run(fused):
+        def go(n, i):
+            res = annealed_importance_sampling(
+                jax.random.fold_in(key, i), mix, base=base,
+                n_samples=chains, n_rungs=n, step_size=0.05, fused=fused,
+            )
+            return res.log_z  # scalar fence
+
+        return go
+
+    per_fused = _slope_time(run("auto"), 2_000, 60_000, iters)
+    per_scan = _slope_time(run("off"), 500, 5_500, iters)
+    # quality sanity at the nominal 200-rung config (true log Z = 0)
+    logz = float(
+        annealed_importance_sampling(
+            key, mix, base=base, n_samples=chains, n_rungs=200, step_size=0.05
+        ).log_z
+    )
+    return {
+        "fused_per_rung_s": per_fused,
+        "scan_per_rung_s": per_scan,
+        "fused_speedup": per_scan / per_fused,
+        "chain_rungs_per_s": chains / per_fused,
+        "log_z_at_200_rungs": logz,
+        "config": f"{chains} chains, 8gaussians target, wide-Gaussian base",
+    }
+
+
 def bench_hmc_ess(iters: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -816,6 +859,7 @@ BENCHES = {
     "dit_step": bench_dit_step,
     "flow": bench_flow,
     "pt_8gaussians": bench_pt_8gaussians,
+    "ais_logz": bench_ais,
     "batch_scale": bench_batch_scale,
 }
 

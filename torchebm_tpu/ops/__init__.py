@@ -19,6 +19,7 @@ from .fused_langevin import (
 )
 from .fused_mlp_langevin import extract_mlp_layers, mlp_langevin_chain
 from .fused_pt import pt_langevin_chain
+from .fused_ais import mixture_ais_run
 from .fused_sinkhorn import sinkhorn_log_fused
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "mixture_mala_chain",
     "mixture_mala_chain_trajectory",
     "pt_langevin_chain",
+    "mixture_ais_run",
 ]
