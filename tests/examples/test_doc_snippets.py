@@ -20,6 +20,7 @@ PAGES = [
     "tutorials/hamiltonian_mechanics.md",
     "tutorials/neural_energy_functions.md",
     "tutorials/bridges_reflow_couplings.md",
+    "tutorials/scaling_mesh.md",
     "datasets.md",
 ]
 
