@@ -178,3 +178,63 @@ def test_pt_chain_validation():
             noise=jnp.zeros((3, 2, 8, 2)), swap_uniform=jnp.zeros((2, 1, 8)),
             interpret=True,
         )
+
+
+def test_pt_trajectory_noise_parity(key):
+    """Trajectory variant: kept cold states (post-swap on exchange steps)
+    match the reference loop's per-step cold snapshots."""
+    from torchebm_tpu.ops.fused_pt import pt_langevin_chain_trajectory
+
+    R, B, d = 3, 33, 2
+    n_steps, swap_every, thin = 12, 4, 2
+    h, ns = 0.04, 1.0
+    means = jnp.array([[2.0, 0.0], [-2.0, 0.0], [0.0, 2.0]])
+    logw = jnp.log(jnp.array([0.5, 0.3, 0.2]))
+    scale = 0.7
+    betas = tuple(1.0 / (1.6**r) for r in range(R))
+    reps = jax.random.normal(key, (R, B, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, R, B, d))
+    n_sweeps = n_steps // swap_every
+    swap_u = jax.random.uniform(jax.random.fold_in(key, 2), (n_sweeps, R - 1, B))
+
+    traj, ladder, _ = pt_langevin_chain_trajectory(
+        reps, means, n_steps, h, ns, betas, swap_every, thin=thin,
+        scale=scale, log_weights=logw, noise=noise, swap_uniform=swap_u,
+        interpret=INTERPRET,
+    )
+    assert traj.shape == (n_steps // thin, B, d)
+    assert ladder.shape == (R, B, d)
+
+    # reference: per-step cold snapshots with the same post-swap semantics
+    inv_var = 1.0 / scale**2
+    x = reps
+    kept = []
+    import math as _math
+    coef = ns * _math.sqrt(2 * h)
+    for i in range(n_steps):
+        new = []
+        for r in range(R):
+            g, _ = _mix_grad_logp(x[r], means, logw, inv_var)
+            new.append(x[r] - (h * betas[r]) * g + coef * noise[i, r])
+        x = jnp.stack(new)
+        if i % swap_every == swap_every - 1:
+            s = i // swap_every
+            logps = [_mix_grad_logp(x[r], means, logw, inv_var)[1] for r in range(R)]
+            xs = [x[r] for r in range(R)]
+            for r in range(R - 1):
+                active = ((s % 2) == (r % 2)) if R > 2 else (r % 2 == 0)
+                delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
+                p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
+                do = jnp.logical_and(active, swap_u[s, r] < p)
+                lo, hi = xs[r], xs[r + 1]
+                xs[r] = jnp.where(do[:, None], hi, lo)
+                xs[r + 1] = jnp.where(do[:, None], lo, hi)
+                e_lo, e_hi = logps[r], logps[r + 1]
+                logps[r] = jnp.where(do, e_hi, e_lo)
+                logps[r + 1] = jnp.where(do, e_lo, e_hi)
+            x = jnp.stack(xs)
+        if (i + 1) % thin == 0:
+            kept.append(x[0])
+    want = jnp.stack(kept)
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(want), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ladder[0]), np.asarray(x[0]), atol=2e-5)

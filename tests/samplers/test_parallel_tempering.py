@@ -244,3 +244,69 @@ class TestFusedDispatch:
             ParallelTemperingLangevin(
                 GaussianMixtureEnergy.eight_gaussians(), fused="yes"
             )
+
+
+class TestFusedTrajectoryAndReplicas:
+    def test_trajectory_routes_to_trajectory_kernel(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_pt as fpt
+        from torchebm_tpu.core import GaussianMixtureEnergy
+
+        calls = []
+
+        def stub(replicas, *, thin, n_steps, **kw):
+            calls.append((replicas.shape, n_steps, thin))
+            n_kept = n_steps // thin
+            traj = jnp.zeros((n_kept, *replicas.shape[1:]))
+            return traj, replicas, jnp.float32(0.0)
+
+        monkeypatch.setattr(fpt, "pt_langevin_chain_trajectory", stub)
+        pt = ParallelTemperingLangevin(
+            GaussianMixtureEnergy.eight_gaussians(), temperatures=(1.0, 2.0),
+            step_size=0.05, fused="force",
+        )
+        out = pt.sample(
+            key, dim=2, n_samples=16, n_steps=12, thin=3, return_trajectory=True
+        )
+        assert calls == [((2, 16, 2), 12, 3)]
+        assert out.shape == (16, 4, 2)
+
+    def test_run_replicas_dispatches_fused(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_pt as fpt
+        from torchebm_tpu.core import GaussianMixtureEnergy
+
+        calls = []
+
+        def stub(replicas, *, n_steps, betas, **kw):
+            calls.append((replicas.shape, n_steps, betas))
+            return replicas, jnp.float32(0.25)
+
+        monkeypatch.setattr(fpt, "pt_langevin_chain", stub)
+        pt = ParallelTemperingLangevin(
+            GaussianMixtureEnergy.eight_gaussians(), temperatures=(1.0, 2.0),
+            step_size=0.05, fused="force",
+        )
+        reps = jnp.zeros((2, 16, 2))
+        ladder, acc = pt.run_replicas(key, reps, 7)
+        assert calls == [((2, 16, 2), 7, (1.0, 0.5))]
+        assert ladder.shape == (2, 16, 2)
+        assert float(acc) == 0.25
+
+    def test_run_replicas_traced_falls_back(self, key, monkeypatch):
+        import torchebm_tpu.ops.fused_pt as fpt
+        from torchebm_tpu.core import GaussianMixtureEnergy
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("fused run_replicas must not dispatch under trace")
+
+        monkeypatch.setattr(fpt, "pt_langevin_chain", boom)
+        pt = ParallelTemperingLangevin(
+            GaussianMixtureEnergy.eight_gaussians(), temperatures=(1.0, 2.0),
+            step_size=0.05, fused="force",
+        )
+
+        @jax.jit
+        def run(k, reps):
+            return pt.run_replicas(k, reps, 3)
+
+        ladder, _ = run(key, jnp.zeros((2, 8, 2)))
+        assert ladder.shape == (2, 8, 2)

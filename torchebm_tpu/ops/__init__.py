@@ -18,7 +18,7 @@ from .fused_langevin import (
     mixture_langevin_chain_trajectory,
 )
 from .fused_mlp_langevin import extract_mlp_layers, mlp_langevin_chain
-from .fused_pt import pt_langevin_chain
+from .fused_pt import pt_langevin_chain, pt_langevin_chain_trajectory
 from .fused_ais import mixture_ais_run
 from .fused_sinkhorn import sinkhorn_log_fused
 
@@ -36,5 +36,6 @@ __all__ = [
     "mixture_mala_chain",
     "mixture_mala_chain_trajectory",
     "pt_langevin_chain",
+    "pt_langevin_chain_trajectory",
     "mixture_ais_run",
 ]

@@ -61,7 +61,7 @@ from .fused_langevin import (
 
 Array = jax.Array
 
-__all__ = ["pt_langevin_chain"]
+__all__ = ["pt_langevin_chain", "pt_langevin_chain_trajectory"]
 
 
 def _chain_tile(v: Array) -> Array:
@@ -269,6 +269,244 @@ def _pt_chain_noise_kernel(
     acc_ref[0, 0] = jnp.float32(0.0)
 
 
+def _pt_chain_traj_kernel(
+    seed_ref,
+    x_ref,
+    means_ref,
+    out_ref,
+    acc_ref,
+    traj_ref,
+    scratch_ref,
+    sem_ref,
+    *,
+    n_steps,
+    swap_every,
+    thin,
+    step_size,
+    noise_coef,
+    betas,
+    inv_var,
+    n_components,
+    d,
+    block,
+    clamp,
+    noise_steps,
+):
+    """In-kernel-PRNG PT chain recording every ``thin``-th COLD state.
+
+    The cold (replica 0) tile rows stage through a VMEM scratch and one
+    async DMA per kept slot while the whole ladder stays VMEM-resident —
+    the R̂/ESS workload shape for tempered chains."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    means = means_ref[...]
+    R = len(betas)
+    rows = 8 * d
+    col0 = pl.program_id(0) * block
+    n_sweeps = n_steps // swap_every
+    rem = n_steps - n_sweeps * swap_every
+
+    def split_reps(x):
+        return [
+            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
+        ]
+
+    def record(x, g):
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1
+            scratch_ref[...] = x[0:rows]
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+    def langevin_all(x):
+        reps = split_reps(x)
+        new = []
+        for r in range(R):
+            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
+            eps = _normal_tiles(reps[r][0].shape, d)
+            cs = [
+                reps[r][j] - (step_size * betas[r]) * grads[j] + noise_coef * eps[j]
+                for j in range(d)
+            ]
+            if clamp is not None:
+                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
+            new.extend(cs)
+        return jnp.concatenate(new, axis=0)
+
+    def swap(x, s):
+        reps = split_reps(x)
+        logps = [
+            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
+            for r in range(R)
+        ]
+        coords = [list(reps[r]) for r in range(R)]
+        acc_sum = jnp.zeros_like(logps[0][0:1, 0:1])
+        n_att = 0
+        for r in range(R - 1):
+            u = _uniform_from_bits(logps[r].shape)
+            if R > 2:
+                active = (s % 2) == (r % 2)
+            else:
+                active = r % 2 == 0
+            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
+            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
+            do = jnp.logical_and(active, u < p)
+            for j in range(d):
+                lo, hi = coords[r][j], coords[r + 1][j]
+                coords[r][j] = jnp.where(do, hi, lo)
+                coords[r + 1][j] = jnp.where(do, lo, hi)
+            e_lo, e_hi = logps[r], logps[r + 1]
+            logps[r] = jnp.where(do, e_hi, e_lo)
+            logps[r + 1] = jnp.where(do, e_lo, e_hi)
+            if R > 2:
+                acc_sum = acc_sum + jnp.where(
+                    active, jnp.mean(p), 0.0
+                ) * jnp.ones_like(acc_sum)
+            else:
+                acc_sum = acc_sum + jnp.mean(p) * jnp.ones_like(acc_sum)
+                n_att += 1
+        if R > 2:
+            n_act = jnp.where(
+                (s % 2) == 0, (R - 1 + 1) // 2, (R - 1) // 2
+            ).astype(jnp.float32)
+            acc = acc_sum / jnp.maximum(n_act, 1.0)
+        else:
+            acc = acc_sum / float(n_att)
+        return jnp.concatenate(sum(coords, []), axis=0), acc
+
+    def sweep_body(s, carry):
+        x, acc = carry
+        # the library transition at the sweep's LAST step is langevin+swap;
+        # the kept state is post-swap (matching the scan loop's carry)
+        for t in range(swap_every - 1):
+            x = langevin_all(x)
+            record(x, s * swap_every + t + 1)
+        x = langevin_all(x)
+        x, acc = swap(x, s)
+        record(x, (s + 1) * swap_every)
+        return x, acc
+
+    acc0 = jnp.zeros((1, 1), jnp.float32)
+    x, acc = jax.lax.fori_loop(0, n_sweeps, sweep_body, (x_ref[...], acc0))
+    for t in range(rem):
+        x = langevin_all(x)
+        record(x, n_sweeps * swap_every + t + 1)
+    out_ref[...] = x
+    acc_ref[0, 0] = acc[0, 0]
+
+
+def _pt_chain_traj_noise_kernel(
+    x_ref,
+    means_ref,
+    noise_ref,
+    swapu_ref,
+    out_ref,
+    acc_ref,
+    traj_ref,
+    scratch_ref,
+    sem_ref,
+    *,
+    n_steps,
+    swap_every,
+    thin,
+    step_size,
+    noise_coef,
+    betas,
+    inv_var,
+    n_components,
+    d,
+    block,
+    clamp,
+    noise_steps,
+):
+    """Injected-noise/uniform trajectory variant (exact-parity CI path)."""
+    means = means_ref[...]
+    R = len(betas)
+    rows = 8 * d
+    col0 = pl.program_id(0) * block
+    n_sweeps = n_steps // swap_every
+    rem = n_steps - n_sweeps * swap_every
+
+    def split_reps(x):
+        return [
+            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
+        ]
+
+    def record(x, g):
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1
+            scratch_ref[...] = x[0:rows]
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+    def langevin_all(x, i):
+        et = noise_ref[pl.ds(i, 1)][0]
+        reps = split_reps(x)
+        eps_reps = split_reps(et)
+        new = []
+        for r in range(R):
+            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
+            cs = [
+                reps[r][j]
+                - (step_size * betas[r]) * grads[j]
+                + noise_coef * eps_reps[r][j]
+                for j in range(d)
+            ]
+            if clamp is not None:
+                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
+            new.extend(cs)
+        return jnp.concatenate(new, axis=0)
+
+    def swap(x, s):
+        reps = split_reps(x)
+        logps = [
+            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
+            for r in range(R)
+        ]
+        coords = [list(reps[r]) for r in range(R)]
+        us = swapu_ref[pl.ds(s, 1)][0]
+        for r in range(R - 1):
+            u = us[r]
+            if R > 2:
+                active = (s % 2) == (r % 2)
+            else:
+                active = r % 2 == 0
+            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
+            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
+            do = jnp.logical_and(active, u < p)
+            for j in range(d):
+                lo, hi = coords[r][j], coords[r + 1][j]
+                coords[r][j] = jnp.where(do, hi, lo)
+                coords[r + 1][j] = jnp.where(do, lo, hi)
+            e_lo, e_hi = logps[r], logps[r + 1]
+            logps[r] = jnp.where(do, e_hi, e_lo)
+            logps[r + 1] = jnp.where(do, e_lo, e_hi)
+        return jnp.concatenate(sum(coords, []), axis=0)
+
+    def sweep_body(s, x):
+        for t in range(swap_every - 1):
+            x = langevin_all(x, s * swap_every + t)
+            record(x, s * swap_every + t + 1)
+        x = langevin_all(x, s * swap_every + swap_every - 1)
+        x = swap(x, s)
+        record(x, (s + 1) * swap_every)
+        return x
+
+    x = jax.lax.fori_loop(0, n_sweeps, sweep_body, x_ref[...])
+    for t in range(rem):
+        x = langevin_all(x, n_sweeps * swap_every + t)
+        record(x, n_sweeps * swap_every + t + 1)
+    out_ref[...] = x
+    acc_ref[0, 0] = jnp.float32(0.0)
+
+
 def pt_langevin_chain(
     replicas: Array,
     means: Array,
@@ -427,3 +665,171 @@ def pt_langevin_chain(
         ]
     )
     return ladder, acc[0, 0]
+
+
+def pt_langevin_chain_trajectory(
+    replicas: Array,
+    means: Array,
+    n_steps: int,
+    step_size: float,
+    noise_scale: float,
+    betas: Sequence[float],
+    swap_every: int,
+    *,
+    thin: int = 1,
+    scale: float = 1.0,
+    log_weights: Optional[Array] = None,
+    precision: Optional[Array] = None,
+    seed: Union[int, Array] = 0,
+    clamp: Optional[Tuple[float, float]] = None,
+    noise: Optional[Array] = None,
+    swap_uniform: Optional[Array] = None,
+    block_chains: int = 1 << 20,
+    interpret: bool = False,
+) -> Tuple[Array, Array, Array]:
+    """PT ladder chain recording every ``thin``-th COLD state.
+
+    Same semantics as :func:`pt_langevin_chain` plus an in-kernel DMA of the
+    cold (replica 0) state after every ``thin``-th transition — post-swap on
+    exchange steps, matching the library loop's kept carry. Returns
+    ``(traj, ladder, acc)`` with ``traj`` of shape ``(n_steps//thin,
+    n_chains, d)``.
+    """
+    R, n_chains, dim = replicas.shape
+    betas = tuple(float(b) for b in betas)
+    if len(betas) != R:
+        raise ValueError(f"betas has {len(betas)} entries for {R} replicas")
+    if R < 2:
+        raise ValueError("parallel tempering needs >= 2 replicas")
+    if swap_every < 1:
+        raise ValueError("swap_every must be >= 1")
+    if thin < 1:
+        raise ValueError("thin must be >= 1")
+    n_kept = int(n_steps) // int(thin)
+    if n_kept < 1:
+        raise ValueError("n_steps // thin must be >= 1 for trajectory output")
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            f"pt_langevin_chain_trajectory unrolls K*d in-kernel; K*d={k * dim},"
+            f" d={dim} exceeds the supported size (d<=64, K*d<=1024)"
+        )
+    if (noise is None) != (swap_uniform is None):
+        raise ValueError("pass both noise= and swap_uniform=, or neither")
+
+    n_sweeps = int(n_steps) // int(swap_every)
+    tiles = [chains_to_tiles(replicas[r])[0] for r in range(R)]
+    lanes = tiles[0].shape[1]
+    xt = jnp.concatenate(tiles, axis=0)
+    packed, n_comp = _pack_target(means, log_weights, precision)
+
+    staged = 0
+    if noise is not None:
+        staged = int(n_steps) + n_sweeps
+    block = _mixture_block(lanes, R * dim, block_chains, n_staged=staged + 1)
+
+    rows_all = R * 8 * dim
+    rows_cold = 8 * dim
+    grid = (lanes // block,)
+    kw = dict(
+        n_steps=int(n_steps),
+        swap_every=int(swap_every),
+        thin=int(thin),
+        step_size=float(step_size),
+        noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
+        betas=betas,
+        inv_var=1.0 / float(scale) ** 2,
+        n_components=n_comp,
+        d=int(dim),
+        block=int(block),
+        clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
+        noise_steps=int(n_steps) if noise is not None else 0,
+    )
+    state_spec = pl.BlockSpec(
+        (rows_all, block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out_shape = (
+        jax.ShapeDtypeStruct((rows_all, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_kept, rows_cold, lanes), jnp.float32),
+    )
+    out_specs = (
+        state_spec,
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    )
+    scratch = [
+        pltpu.VMEM((rows_cold, block), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+    if noise is None:
+        final, acc, traj = pl.pallas_call(
+            functools.partial(_pt_chain_traj_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                state_spec,
+                means_spec,
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(jnp.asarray(seed, jnp.int32).reshape(1), xt, packed)
+    else:
+        if noise.shape != (n_steps, R, n_chains, dim):
+            raise ValueError(
+                f"noise must have shape {(n_steps, R, n_chains, dim)}, got {noise.shape}"
+            )
+        if swap_uniform.shape != (n_sweeps, R - 1, n_chains):
+            raise ValueError(
+                f"swap_uniform must have shape {(n_sweeps, R - 1, n_chains)}, "
+                f"got {swap_uniform.shape}"
+            )
+        nt = jnp.stack(
+            [
+                jnp.concatenate(
+                    [chains_to_tiles(noise[t, r])[0] for r in range(R)], axis=0
+                )
+                for t in range(int(n_steps))
+            ]
+        )
+        ut = jnp.stack(
+            [
+                jnp.stack([_chain_tile(swap_uniform[s, r]) for r in range(R - 1)])
+                for s in range(n_sweeps)
+            ]
+        )
+        if n_sweeps == 0:
+            ut = jnp.zeros((1, R - 1, 8, lanes), jnp.float32)
+        noise_spec = pl.BlockSpec(
+            (int(n_steps), rows_all, block),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        swapu_spec = pl.BlockSpec(
+            (max(n_sweeps, 1), R - 1, 8, block),
+            lambda i: (0, 0, 0, i),
+            memory_space=pltpu.VMEM,
+        )
+        final, acc, traj = pl.pallas_call(
+            functools.partial(_pt_chain_traj_noise_kernel, **kw),
+            out_shape=out_shape,
+            grid=grid,
+            in_specs=[state_spec, means_spec, noise_spec, swapu_spec],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(xt, packed, nt, ut)
+    ladder = jnp.stack(
+        [
+            tiles_to_chains(final[r * 8 * dim : (r + 1) * 8 * dim], n_chains, dim)
+            for r in range(R)
+        ]
+    )
+    traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
+    return traj_chains, ladder, acc[0, 0]

@@ -196,7 +196,8 @@ class ParallelTemperingLangevin(BaseSampler):
 
     def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs):
         """Whole-ladder kernel gate: eager single-program calls, constant
-        concrete step/noise, no conditioning/trajectory/diagnostics, and a
+        concrete step/noise, no conditioning/diagnostics (``return_trajectory``
+        IS supported — the cold chain's kept states DMA out in-kernel), and a
         mixture-family target (isotropic mixture with K·d ≤ 1024, or any
         concrete Gaussian — full covariances with d ≤ 32 via the
         precision-packed evaluator). Same conventions as
@@ -207,7 +208,7 @@ class ParallelTemperingLangevin(BaseSampler):
             return False
         if self.fused != "force" and jax.default_backend() != "tpu":
             return False
-        if model_kwargs or return_trajectory or return_diagnostics:
+        if model_kwargs or return_diagnostics:
             return False
         if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
             return False
@@ -241,13 +242,14 @@ class ParallelTemperingLangevin(BaseSampler):
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
             kargs = row.kernel_kwargs(self, x0)
-            if kargs is not None:
+            if kargs is not None and (
+                not return_trajectory or n_steps // thin >= 1
+            ):
                 seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
                 replicas = jnp.broadcast_to(
                     x0[None], (self.n_replicas,) + x0.shape
                 )
-                ladder, _ = ops_pt.pt_langevin_chain(
-                    replicas,
+                common = dict(
                     n_steps=int(n_steps),
                     step_size=float(self.step_size),
                     noise_scale=float(self.noise_scale),
@@ -257,10 +259,15 @@ class ParallelTemperingLangevin(BaseSampler):
                     clamp=self.clamp,
                     interpret=self.fused == "force"
                     and jax.default_backend() != "tpu",
-                    **kargs,
                 )
+                if return_trajectory:
+                    traj, _, _ = ops_pt.pt_langevin_chain_trajectory(
+                        replicas, thin=int(thin), **kargs, **common
+                    )
+                    return jnp.moveaxis(traj, 0, 1)
+                ladder, _ = ops_pt.pt_langevin_chain(replicas, **kargs, **common)
                 return ladder[0]
-            # unsupported state shape: fall through to the scan path
+            # unsupported state shape / n_steps < thin: fall back to the scan
         return super().sample(
             key,
             x=x,
@@ -297,6 +304,34 @@ class ParallelTemperingLangevin(BaseSampler):
                 f"replicas must be (n_replicas={self.n_replicas}, B, *data_shape); "
                 f"got {replicas.shape}"
             )
+        # eager full-ladder kernel dispatch (the PT-CD persistence hot path
+        # when driven outside a user jit); traced/conditioned calls use the
+        # compiled scan, which shards and differentiates transparently
+        if (
+            not isinstance(replicas, jax.core.Tracer)
+            and replicas.ndim == 3
+            and self._fusable(key, replicas, False, False, model_kwargs)
+        ):
+            from ..ops import fused_pt as ops_pt
+
+            row = self._fused_row()
+            kargs = row.kernel_kwargs(self, replicas[0])
+            if kargs is not None:
+                seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
+                ladder, acc = ops_pt.pt_langevin_chain(
+                    replicas,
+                    n_steps=int(n_steps),
+                    step_size=float(self.step_size),
+                    noise_scale=float(self.noise_scale),
+                    betas=tuple(1.0 / t for t in self.temperatures),
+                    swap_every=int(self.swap_every),
+                    seed=seed,
+                    clamp=self.clamp,
+                    interpret=self.fused == "force"
+                    and jax.default_backend() != "tpu",
+                    **kargs,
+                )
+                return ladder, acc
         return _run_replicas_impl(self, replicas, key, n_steps, model_kwargs or {})
 
 
