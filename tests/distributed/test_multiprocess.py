@@ -115,3 +115,79 @@ def payload():
     # rank-folded keys -> different chains; shared key -> identical chains
     assert r0["sum"] != r1["sum"]
     assert r0["shared_sum"] == r1["shared_sum"]
+
+
+def test_sharded_checkpoint_resume_across_clusters(tmp_path):
+    """Preemption story, end to end: cluster A (2 processes x 2 devices)
+    saves an fsdp-sharded TrainState; a FRESH cluster B restores it onto its
+    own (same-shape) mesh with shardings intact and matching content — the
+    'restoring on a different topology' path that sharding-blind restore
+    cannot do safely."""
+    ck = str(tmp_path / "ckpt")
+
+    common = """
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from torchebm_tpu.core.trainer import BaseTrainer
+from torchebm_tpu.models import MLPEnergy
+from torchebm_tpu.parallel import fsdp_shard_params, make_mesh
+
+def build():
+    mesh = make_mesh(("data", "fsdp"), (2, 2))
+    net = MLPEnergy(hidden_dims=(256,))
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 4)))
+
+    def loss(p, x, k, model_kwargs=None):
+        return jnp.mean(jnp.square(net.apply(p, x)))
+
+    trainer = BaseTrainer(loss, optax.adam(1e-3), stateful_loss=False)
+    state = trainer.init_state(params, jax.random.PRNGKey(1))
+    state = state.replace(
+        params=fsdp_shard_params(state.params, mesh, min_size=512),
+        opt_state=fsdp_shard_params(state.opt_state, mesh, min_size=512),
+    )
+    return mesh, trainer, state
+
+def checksum(tree):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "sharding")]
+    mesh = next(l.sharding.mesh for l in leaves)
+    tot = jax.jit(
+        lambda ls: sum(jnp.sum(jnp.abs(l.astype(jnp.float32))) for l in ls),
+        out_shardings=NamedSharding(mesh, P()),
+    )(leaves)
+    return float(np.asarray(tot.addressable_data(0)))
+"""
+
+    save_payload = common + f"""
+def payload():
+    mesh, trainer, state = build()
+    trainer.save(state, {ck!r})
+    return {{"sum": checksum(state.params)}}
+"""
+    saved = run_two_process(save_payload, timeout=240)
+    assert abs(saved[0]["sum"] - saved[1]["sum"]) < 1e-4
+
+    restore_payload = common + f"""
+def payload():
+    mesh, trainer, state = build()
+    template = state
+    restored = trainer.restore({ck!r}, template)
+    specs = sorted(
+        str(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(restored.params)
+    )
+    return {{
+        "sum": checksum(restored.params),
+        "step": int(np.asarray(restored.step.addressable_data(0))),
+        "has_fsdp": any("fsdp" in s for s in specs),
+    }}
+"""
+    restored = run_two_process(restore_payload, timeout=240)
+    for r in restored:
+        assert abs(r["sum"] - saved[0]["sum"]) < 1e-4, (r, saved)
+        assert r["step"] == 0
+        assert r["has_fsdp"]

@@ -301,7 +301,13 @@ class BaseTrainer:
     def save(self, state: TrainState, ckpt_dir: str) -> str:
         """Write the full :class:`TrainState` (params / optimizer / EMA / step /
         PRNG key / loss state, e.g. the PCD replay buffer) as a step-numbered
-        Orbax checkpoint. Reference ``base_trainer.py:312-331``."""
+        Orbax checkpoint. Reference ``base_trainer.py:312-331``.
+
+        When the params are mesh-sharded, scalar leaves (step counter, PRNG
+        key) are first replicated onto the mesh — in a multi-process run
+        Orbax refuses to serialize host-local single-device arrays, and a
+        mesh-replicated scalar is the globally-consistent form anyway."""
+        state = self._align_state_mesh(state)
         return save_checkpoint(
             ckpt_dir,
             int(state.step),
@@ -371,6 +377,16 @@ class BaseTrainer:
             if isinstance(leaf, jax.Array) and not isinstance(
                 leaf.sharding, NamedSharding
             ):
+                if jax.process_count() > 1:
+                    # multi-controller: device_put cannot cross hosts; build
+                    # the replicated global array from the (identical)
+                    # host-local value instead
+                    import numpy as np
+                    from jax.experimental import multihost_utils
+
+                    return multihost_utils.host_local_array_to_global_array(
+                        np.asarray(leaf), mesh, PartitionSpec()
+                    )
                 return jax.device_put(leaf, rep)
             return leaf
 
