@@ -204,8 +204,8 @@ def bench_pt_8gaussians(iters: int) -> dict:
 
         return go
 
-    per_fused = _slope_time(run(make("auto")), 10_000, 200_000, iters)
-    per_scan = _slope_time(run(make("off")), 1_000, 11_000, iters)
+    per_fused = _slope_time(run(make("auto")), 20_000, 800_000, iters)
+    per_scan = _slope_time(run(make("off")), 2_000, 60_000, iters)
     r = len(temps)
     return {
         "fused_per_step_s": per_fused,
@@ -230,7 +230,7 @@ def bench_ais(iters: int) -> dict:
     from torchebm_tpu.core import GaussianEnergy, GaussianMixtureEnergy
     from torchebm_tpu.samplers import annealed_importance_sampling
 
-    chains = 4096
+    chains = 16384
     key = jax.random.PRNGKey(0)
     mix = GaussianMixtureEnergy.eight_gaussians()
     base = GaussianEnergy.create(jnp.zeros(2), 9.0 * jnp.eye(2))
@@ -245,8 +245,8 @@ def bench_ais(iters: int) -> dict:
 
         return go
 
-    per_fused = _slope_time(run("auto"), 2_000, 60_000, iters)
-    per_scan = _slope_time(run("off"), 500, 5_500, iters)
+    per_fused = _slope_time(run("auto"), 5_000, 55_000, iters)
+    per_scan = _slope_time(run("off"), 1_000, 16_000, iters)
     # quality sanity at the nominal 200-rung config (true log Z = 0)
     logz = float(
         annealed_importance_sampling(

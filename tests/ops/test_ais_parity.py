@@ -185,3 +185,14 @@ def test_ais_run_validation():
             x0, jnp.zeros(2), 1.0, means, jnp.linspace(0, 1, 3), 0.1,
             noise=jnp.zeros((2, 8, 2)), interpret=True,
         )
+
+
+def test_ais_rung_cap_raises():
+    """The SMEM beta table bounds the anneal length; past the cap the error
+    says so instead of failing in the Mosaic allocator."""
+    x0 = jnp.zeros((8, 2))
+    with pytest.raises(ValueError, match="SMEM"):
+        mixture_ais_run(
+            x0, jnp.zeros(2), 1.0, jnp.zeros((1, 2)),
+            jnp.linspace(0, 1, 60_002), 0.1, interpret=True,
+        )

@@ -238,3 +238,24 @@ def test_pt_trajectory_noise_parity(key):
     want = jnp.stack(kept)
     np.testing.assert_allclose(np.asarray(traj), np.asarray(want), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ladder[0]), np.asarray(x[0]), atol=2e-5)
+
+
+def test_pt_short_chain_no_sweep_injected(key):
+    """n_steps < swap_every with injected randomness: zero sweeps must run
+    (regression: the uniforms staging crashed on an empty jnp.stack before
+    its zero-sweep guard could apply)."""
+    R, B, d = 2, 16, 2
+    means = jnp.array([[2.0, 0.0], [-2.0, 0.0]])
+    n_steps, swap_every = 3, 5
+    reps = jax.random.normal(key, (R, B, d))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), (n_steps, R, B, d))
+    swap_u = jnp.zeros((0, R - 1, B))
+    ladder, acc = pt_langevin_chain(
+        reps, means, n_steps, 0.04, 1.0, (1.0, 0.5), swap_every,
+        scale=0.7, noise=noise, swap_uniform=swap_u, interpret=INTERPRET,
+    )
+    want = _ref_pt(
+        reps, means, jnp.log(jnp.full((2,), 0.5)), 1.0 / 0.7**2, (1.0, 0.5),
+        n_steps, swap_every, 0.04, 1.0, noise, swap_u,
+    )
+    np.testing.assert_allclose(np.asarray(ladder), np.asarray(want), atol=2e-5)

@@ -98,29 +98,41 @@ def _blended_transition(coords, eps, u, base, target, *, eta, beta, inv_var0,
 
 def _ais_body(get_eps, get_u, betas_ref, base, target, *, n_rungs,
               n_transitions, eta, log_norm_t, inv_var0, inv_var, n_components,
-              d, tile):
-    """Shared rung loop; ``get_eps(t)``/``get_u(t)`` supply randomness."""
+              d):
+    """Shared rung loop; ``get_eps(t)``/``get_u(t)`` supply randomness.
+
+    The carry THREADS the endpoint logps of the current state: the rung's
+    weight update reads them directly, and each transition returns the
+    post-MH logps — so the endpoint evaluators run once per proposal side
+    instead of re-evaluating the carried state at every rung start (with
+    ``n_transitions=1`` that is 4 evaluator passes per rung instead of 6).
+    """
 
     def rung(r, carry):
-        x, logw, acc = carry
+        x, logw, acc, lp0, lpt = carry
         bp = betas_ref[0, r]
         b = betas_ref[1, r]
-        coords = _split_coords(x, d)
-        lp0 = _tile_grad_logp(coords, base, inv_var0, 1, d)[1]
-        lpt = _tile_grad_logp(coords, target, inv_var, n_components, d)[1]
         # E0 - E_t = lp_t - lp0 - log_norm_t  (base constant is exactly zero)
         logw = logw + (b - bp) * (lpt - lp0 - log_norm_t)
+        coords = _split_coords(x, d)
         for j in range(n_transitions):
             t = r * n_transitions + j
-            coords, a, _, _ = _blended_transition(
+            coords, a, lp0, lpt = _blended_transition(
                 coords, get_eps(t), get_u(t), base, target, eta=eta, beta=b,
                 inv_var0=inv_var0, inv_var=inv_var, n_components=n_components,
                 d=d,
             )
             acc = acc + a
-        return jnp.concatenate(coords, axis=0), logw, acc
+        return jnp.concatenate(coords, axis=0), logw, acc, lp0, lpt
 
     return rung
+
+
+def _init_logps(x, base, target, *, inv_var0, inv_var, n_components, d):
+    coords = _split_coords(x, d)
+    lp0 = _tile_grad_logp(coords, base, inv_var0, 1, d)[1]
+    lpt = _tile_grad_logp(coords, target, inv_var, n_components, d)[1]
+    return lp0, lpt
 
 
 def _ais_kernel(seed_ref, betas_ref, x_ref, base_ref, target_ref, out_ref,
@@ -136,11 +148,17 @@ def _ais_kernel(seed_ref, betas_ref, x_ref, base_ref, target_ref, out_ref,
         lambda t: _uniform_from_bits(tile),
         betas_ref, base, target, n_rungs=n_rungs, n_transitions=n_transitions,
         eta=eta, log_norm_t=log_norm_t, inv_var0=inv_var0, inv_var=inv_var,
-        n_components=n_components, d=d, tile=tile,
+        n_components=n_components, d=d,
     )
-    x, logw, acc = jax.lax.fori_loop(
+    x0 = x_ref[...]
+    lp0, lpt = _init_logps(
+        x0, base, target, inv_var0=inv_var0, inv_var=inv_var,
+        n_components=n_components, d=d,
+    )
+    x, logw, acc, _, _ = jax.lax.fori_loop(
         0, n_rungs, rung,
-        (x_ref[...], jnp.zeros(tile, jnp.float32), jnp.zeros(tile, jnp.float32)),
+        (x0, jnp.zeros(tile, jnp.float32), jnp.zeros(tile, jnp.float32),
+         lp0, lpt),
     )
     out_ref[...] = x
     logw_ref[...] = logw
@@ -161,11 +179,17 @@ def _ais_noise_kernel(betas_ref, x_ref, base_ref, target_ref, noise_ref,
         lambda t: unif_ref[pl.ds(t, 1)][0],
         betas_ref, base, target, n_rungs=n_rungs, n_transitions=n_transitions,
         eta=eta, log_norm_t=log_norm_t, inv_var0=inv_var0, inv_var=inv_var,
-        n_components=n_components, d=d, tile=tile,
+        n_components=n_components, d=d,
     )
-    x, logw, acc = jax.lax.fori_loop(
+    x0 = x_ref[...]
+    lp0, lpt = _init_logps(
+        x0, base, target, inv_var0=inv_var0, inv_var=inv_var,
+        n_components=n_components, d=d,
+    )
+    x, logw, acc, _, _ = jax.lax.fori_loop(
         0, n_rungs, rung,
-        (x_ref[...], jnp.zeros(tile, jnp.float32), jnp.zeros(tile, jnp.float32)),
+        (x0, jnp.zeros(tile, jnp.float32), jnp.zeros(tile, jnp.float32),
+         lp0, lpt),
     )
     out_ref[...] = x
     logw_ref[...] = logw
@@ -220,6 +244,12 @@ def mixture_ais_run(
     if (noise is None) != (uniforms is None):
         raise ValueError("noise and uniforms must be supplied together")
     n_rungs = int(betas.shape[0]) - 1
+    if n_rungs > 60_000:
+        raise ValueError(
+            "the (2, n_rungs) beta table stages in SMEM (~1 MB); "
+            f"n_rungs={n_rungs} exceeds the 60k cap — chunk the anneal or "
+            "use the scan path (fused='off')"
+        )
     n_steps = n_rungs * int(n_transitions)
 
     xt, padded = chains_to_tiles(x0)

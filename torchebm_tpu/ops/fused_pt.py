@@ -21,12 +21,20 @@ branch-free ``jnp.where`` selects on the coordinate tiles. The chain never
 round-trips HBM — neither between Langevin steps nor across swaps — which is
 exactly what the scan path cannot avoid (one state materialization per step).
 
+All four kernel variants (PRNG / injected-randomness × plain / trajectory)
+share ONE body (:func:`_pt_body`), parameterized by the randomness source
+and the trajectory recorder — a fix in the dynamics or swap math lands
+everywhere at once. The ``*_trajectory`` variants DMA every ``thin``-th
+COLD (replica 0) state to an HBM-resident trajectory, post-swap on exchange
+steps (the library loop's kept-carry semantics).
+
 Supported targets mirror the mixture-family chain kernels: d-dim isotropic
 Gaussian mixtures (``K·d ≤ 1024``) and full-covariance Gaussians (``d ≤ 32``
 via ``precision=``), sharing :func:`~torchebm_tpu.ops.fused_langevin._tile_grad_logp`.
-The swap acceptance statistic of the FINAL attempted sweep is emitted like the
-scan path's ``swap_acceptance_rate`` diagnostic (mean accept probability over
-the pairs attempted that sweep).
+The swap-acceptance statistic of the FINAL attempted sweep is emitted per
+grid block and averaged by the wrapper (mean accept probability over the
+pairs attempted that sweep; includes the padded tail chains — approximate,
+like the scan path's batch mean but computed blockwise).
 
 ``noise=`` / ``swap_uniform=`` inject the Gaussian increments and the
 per-pair exchange uniforms for the exact-parity CI path
@@ -48,7 +56,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .fused_langevin import (
-    _LANE,
     _mixture_block,
     _normal_tiles,
     _pack_target,
@@ -64,52 +71,44 @@ Array = jax.Array
 __all__ = ["pt_langevin_chain", "pt_langevin_chain_trajectory"]
 
 
-def _chain_tile(v: Array) -> Array:
-    """Lay a per-chain ``(B,)`` vector out as the kernels' ``(8, lanes)`` tile
-    (chain ``c`` at sublane ``c // lanes``, lane ``c % lanes`` — the same map
-    as :func:`chains_to_tiles`)."""
-    b = v.shape[0]
-    padded = -(-b // (8 * _LANE)) * (8 * _LANE)
-    return jnp.pad(v, (0, padded - b)).reshape(8, padded // 8)
+def _split_ladder(x, R, d):
+    """Split an ``(R·8d, block)`` ladder tile into per-replica coord lists."""
+    rows = 8 * d
+    return [_split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)]
 
 
-def _pt_chain_kernel(
-    seed_ref,
-    x_ref,
-    means_ref,
-    out_ref,
-    acc_ref,
+def _pt_body(
+    get_eps,
+    get_swapu,
+    record,
+    means,
     *,
-    n_steps,
-    swap_every,
+    betas,
     step_size,
     noise_coef,
-    betas,
     inv_var,
     n_components,
     d,
     clamp,
-    noise_steps,
+    track_acc,
 ):
-    """In-kernel-PRNG PT chain. ``betas`` is the static ladder tuple (baked)."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    means = means_ref[...]
+    """The shared ladder program: returns ``(langevin_all, swap, sweep_body)``.
+
+    ``get_eps(t, shape)`` supplies the d normal tiles for ONE replica at
+    global step ``t`` (replica index threaded via a second call-position
+    argument); ``get_swapu(s, r, shape)`` the exchange uniforms for pair
+    ``r`` at sweep ``s``; ``record(x, g)`` the (possibly no-op) trajectory
+    recorder at global step ``g``. ``track_acc`` keeps the last sweep's
+    blockwise mean accept probability (the PRNG path's diagnostic channel).
+    """
     R = len(betas)
-    rows = 8 * d
-    n_sweeps = n_steps // swap_every
-    rem = n_steps - n_sweeps * swap_every
 
-    def split_reps(x):
-        return [
-            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
-        ]
-
-    def langevin_all(x):
-        reps = split_reps(x)
+    def langevin_all(x, t):
+        reps = _split_ladder(x, R, d)
         new = []
         for r in range(R):
             grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
-            eps = _normal_tiles(reps[r][0].shape, d)
+            eps = get_eps(t, r, reps[r][0].shape)
             cs = [
                 reps[r][j] - (step_size * betas[r]) * grads[j] + noise_coef * eps[j]
                 for j in range(d)
@@ -120,16 +119,16 @@ def _pt_chain_kernel(
         return jnp.concatenate(new, axis=0)
 
     def swap(x, s):
-        reps = split_reps(x)
+        reps = _split_ladder(x, R, d)
         logps = [
             _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
             for r in range(R)
         ]
         coords = [list(reps[r]) for r in range(R)]
-        acc_sum = jnp.zeros_like(logps[0][0:1, 0:1])
+        acc_sum = jnp.zeros((1, 1), jnp.float32)
         n_att = 0
         for r in range(R - 1):
-            u = _uniform_from_bits(logps[r].shape)
+            u = get_swapu(s, r, logps[r].shape)
             if R > 2:
                 active = (s % 2) == (r % 2)
             else:
@@ -145,366 +144,237 @@ def _pt_chain_kernel(
             e_lo, e_hi = logps[r], logps[r + 1]
             logps[r] = jnp.where(do, e_hi, e_lo)
             logps[r + 1] = jnp.where(do, e_lo, e_hi)
+            if track_acc:
+                if R > 2:
+                    acc_sum = acc_sum + jnp.where(active, jnp.mean(p), 0.0)
+                else:
+                    acc_sum = acc_sum + jnp.mean(p)
+                    n_att += 1
+        if track_acc:
             if R > 2:
-                # mean over pairs attempted this phase (phase has (R-1)//2 or
-                # R//2 - 1 + 1 pairs); accumulate masked and divide later
-                acc_sum = acc_sum + jnp.where(
-                    active, jnp.mean(p), 0.0
-                ) * jnp.ones_like(acc_sum)
+                n_act = jnp.where(
+                    (s % 2) == 0, (R - 1 + 1) // 2, (R - 1) // 2
+                ).astype(jnp.float32)
+                acc = acc_sum / jnp.maximum(n_act, 1.0)
             else:
-                acc_sum = acc_sum + jnp.mean(p) * jnp.ones_like(acc_sum)
-                n_att += 1
-        if R > 2:
-            n_act = jnp.where(
-                (s % 2) == 0, (R - 1 + 1) // 2, (R - 1) // 2
-            ).astype(jnp.float32)
-            acc = acc_sum / jnp.maximum(n_act, 1.0)
+                acc = acc_sum / float(n_att)
         else:
-            acc = acc_sum / float(n_att)
+            acc = jnp.zeros((1, 1), jnp.float32)
         return jnp.concatenate(sum(coords, []), axis=0), acc
 
-    def sweep_body(s, carry):
+    return langevin_all, swap
+
+
+def _run_ladder(x0, langevin_all, swap, record, *, n_steps, swap_every):
+    """Drive the shared ladder program over ``n_steps`` transitions."""
+    n_sweeps = n_steps // swap_every
+    rem = n_steps - n_sweeps * swap_every
+
+    def sweep(s, carry):
         x, acc = carry
-        for _ in range(swap_every):
-            x = langevin_all(x)
+        for t in range(swap_every - 1):
+            g = s * swap_every + t
+            x = langevin_all(x, g)
+            record(x, g + 1)
+        x = langevin_all(x, s * swap_every + swap_every - 1)
         x, acc = swap(x, s)
+        record(x, (s + 1) * swap_every)
         return x, acc
 
     acc0 = jnp.zeros((1, 1), jnp.float32)
-    x, acc = jax.lax.fori_loop(0, n_sweeps, sweep_body, (x_ref[...], acc0))
-    for _ in range(rem):
-        x = langevin_all(x)
+    x, acc = jax.lax.fori_loop(0, n_sweeps, sweep, (x0, acc0))
+    for t in range(rem):
+        g = n_sweeps * swap_every + t
+        x = langevin_all(x, g)
+        record(x, g + 1)
+    return x, acc
+
+
+def _no_record(x, g):
+    return None
+
+
+def _make_recorder(traj_ref, scratch_ref, sem_ref, *, thin, rows_cold, block):
+    col0 = pl.program_id(0) * block
+
+    def record(x, g):
+        @pl.when(g % thin == 0)
+        def _():
+            k = g // thin - 1
+            scratch_ref[...] = x[0:rows_cold]
+            dma = pltpu.make_async_copy(
+                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
+            )
+            dma.start()
+            dma.wait()
+
+    return record
+
+
+def _pt_prng_kernel_body(betas, d, **kw):
+    def get_eps(t, r, shape):
+        return _normal_tiles(shape, d)
+
+    def get_swapu(s, r, shape):
+        return _uniform_from_bits(shape)
+
+    return get_eps, get_swapu
+
+
+def _pt_injected_kernel_body(noise_ref, swapu_ref, R, d):
+    def get_eps(t, r, shape):
+        et = noise_ref[pl.ds(t, 1)][0]
+        return _split_ladder(et, R, d)[r]
+
+    def get_swapu(s, r, shape):
+        return swapu_ref[pl.ds(s, 1)][0, r]
+
+    return get_eps, get_swapu
+
+
+def _pt_chain_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref, *, kw):
+    """In-kernel-PRNG PT chain. ``kw['betas']`` is the static ladder tuple."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    get_eps, get_swapu = _pt_prng_kernel_body(kw["betas"], kw["d"])
+    langevin_all, swap = _pt_body(
+        get_eps, get_swapu, _no_record, means_ref[...], track_acc=True,
+        **{k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")},
+    )
+    x, acc = _run_ladder(
+        x_ref[...], langevin_all, swap, _no_record,
+        n_steps=kw["n_steps"], swap_every=kw["swap_every"],
+    )
     out_ref[...] = x
     acc_ref[0, 0] = acc[0, 0]
 
 
-def _pt_chain_noise_kernel(
-    x_ref,
-    means_ref,
-    noise_ref,
-    swapu_ref,
-    out_ref,
-    acc_ref,
-    *,
-    n_steps,
-    swap_every,
-    step_size,
-    noise_coef,
-    betas,
-    inv_var,
-    n_components,
-    d,
-    clamp,
-    noise_steps,
-):
+def _pt_chain_noise_kernel(x_ref, means_ref, noise_ref, swapu_ref, out_ref,
+                           acc_ref, *, kw):
     """Injected-noise/uniform variant (exact-parity CI path).
 
     ``noise_ref``: ``(n_steps, R·8d, block)`` Gaussian increments;
     ``swapu_ref``: ``(n_sweeps, R-1, 8, block)`` exchange uniforms.
     """
-    means = means_ref[...]
-    R = len(betas)
-    rows = 8 * d
-    n_sweeps = n_steps // swap_every
-    rem = n_steps - n_sweeps * swap_every
-
-    def split_reps(x):
-        return [
-            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
-        ]
-
-    def langevin_all(x, i):
-        et = noise_ref[pl.ds(i, 1)][0]
-        reps = split_reps(x)
-        eps_reps = split_reps(et)
-        new = []
-        for r in range(R):
-            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
-            cs = [
-                reps[r][j]
-                - (step_size * betas[r]) * grads[j]
-                + noise_coef * eps_reps[r][j]
-                for j in range(d)
-            ]
-            if clamp is not None:
-                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
-            new.extend(cs)
-        return jnp.concatenate(new, axis=0)
-
-    def swap(x, s):
-        reps = split_reps(x)
-        logps = [
-            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
-            for r in range(R)
-        ]
-        coords = [list(reps[r]) for r in range(R)]
-        us = swapu_ref[pl.ds(s, 1)][0]  # (R-1, 8, block)
-        for r in range(R - 1):
-            u = us[r]
-            if R > 2:
-                active = (s % 2) == (r % 2)
-            else:
-                active = r % 2 == 0
-            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
-            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
-            do = jnp.logical_and(active, u < p)
-            for j in range(d):
-                lo, hi = coords[r][j], coords[r + 1][j]
-                coords[r][j] = jnp.where(do, hi, lo)
-                coords[r + 1][j] = jnp.where(do, lo, hi)
-            e_lo, e_hi = logps[r], logps[r + 1]
-            logps[r] = jnp.where(do, e_hi, e_lo)
-            logps[r + 1] = jnp.where(do, e_lo, e_hi)
-        return jnp.concatenate(sum(coords, []), axis=0)
-
-    def sweep_body(s, x):
-        for t in range(swap_every):
-            x = langevin_all(x, s * swap_every + t)
-        return swap(x, s)
-
-    x = jax.lax.fori_loop(0, n_sweeps, sweep_body, x_ref[...])
-    for t in range(rem):
-        x = langevin_all(x, n_sweeps * swap_every + t)
-    out_ref[...] = x
-    acc_ref[0, 0] = jnp.float32(0.0)
-
-
-def _pt_chain_traj_kernel(
-    seed_ref,
-    x_ref,
-    means_ref,
-    out_ref,
-    acc_ref,
-    traj_ref,
-    scratch_ref,
-    sem_ref,
-    *,
-    n_steps,
-    swap_every,
-    thin,
-    step_size,
-    noise_coef,
-    betas,
-    inv_var,
-    n_components,
-    d,
-    block,
-    clamp,
-    noise_steps,
-):
-    """In-kernel-PRNG PT chain recording every ``thin``-th COLD state.
-
-    The cold (replica 0) tile rows stage through a VMEM scratch and one
-    async DMA per kept slot while the whole ladder stays VMEM-resident —
-    the R̂/ESS workload shape for tempered chains."""
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    means = means_ref[...]
-    R = len(betas)
-    rows = 8 * d
-    col0 = pl.program_id(0) * block
-    n_sweeps = n_steps // swap_every
-    rem = n_steps - n_sweeps * swap_every
-
-    def split_reps(x):
-        return [
-            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
-        ]
-
-    def record(x, g):
-        @pl.when(g % thin == 0)
-        def _():
-            k = g // thin - 1
-            scratch_ref[...] = x[0:rows]
-            dma = pltpu.make_async_copy(
-                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
-            )
-            dma.start()
-            dma.wait()
-
-    def langevin_all(x):
-        reps = split_reps(x)
-        new = []
-        for r in range(R):
-            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
-            eps = _normal_tiles(reps[r][0].shape, d)
-            cs = [
-                reps[r][j] - (step_size * betas[r]) * grads[j] + noise_coef * eps[j]
-                for j in range(d)
-            ]
-            if clamp is not None:
-                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
-            new.extend(cs)
-        return jnp.concatenate(new, axis=0)
-
-    def swap(x, s):
-        reps = split_reps(x)
-        logps = [
-            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
-            for r in range(R)
-        ]
-        coords = [list(reps[r]) for r in range(R)]
-        acc_sum = jnp.zeros_like(logps[0][0:1, 0:1])
-        n_att = 0
-        for r in range(R - 1):
-            u = _uniform_from_bits(logps[r].shape)
-            if R > 2:
-                active = (s % 2) == (r % 2)
-            else:
-                active = r % 2 == 0
-            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
-            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
-            do = jnp.logical_and(active, u < p)
-            for j in range(d):
-                lo, hi = coords[r][j], coords[r + 1][j]
-                coords[r][j] = jnp.where(do, hi, lo)
-                coords[r + 1][j] = jnp.where(do, lo, hi)
-            e_lo, e_hi = logps[r], logps[r + 1]
-            logps[r] = jnp.where(do, e_hi, e_lo)
-            logps[r + 1] = jnp.where(do, e_lo, e_hi)
-            if R > 2:
-                acc_sum = acc_sum + jnp.where(
-                    active, jnp.mean(p), 0.0
-                ) * jnp.ones_like(acc_sum)
-            else:
-                acc_sum = acc_sum + jnp.mean(p) * jnp.ones_like(acc_sum)
-                n_att += 1
-        if R > 2:
-            n_act = jnp.where(
-                (s % 2) == 0, (R - 1 + 1) // 2, (R - 1) // 2
-            ).astype(jnp.float32)
-            acc = acc_sum / jnp.maximum(n_act, 1.0)
-        else:
-            acc = acc_sum / float(n_att)
-        return jnp.concatenate(sum(coords, []), axis=0), acc
-
-    def sweep_body(s, carry):
-        x, acc = carry
-        # the library transition at the sweep's LAST step is langevin+swap;
-        # the kept state is post-swap (matching the scan loop's carry)
-        for t in range(swap_every - 1):
-            x = langevin_all(x)
-            record(x, s * swap_every + t + 1)
-        x = langevin_all(x)
-        x, acc = swap(x, s)
-        record(x, (s + 1) * swap_every)
-        return x, acc
-
-    acc0 = jnp.zeros((1, 1), jnp.float32)
-    x, acc = jax.lax.fori_loop(0, n_sweeps, sweep_body, (x_ref[...], acc0))
-    for t in range(rem):
-        x = langevin_all(x)
-        record(x, n_sweeps * swap_every + t + 1)
+    body_kw = {k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")}
+    get_eps, get_swapu = _pt_injected_kernel_body(
+        noise_ref, swapu_ref, len(kw["betas"]), kw["d"]
+    )
+    langevin_all, swap = _pt_body(
+        get_eps, get_swapu, _no_record, means_ref[...], track_acc=False, **body_kw
+    )
+    x, acc = _run_ladder(
+        x_ref[...], langevin_all, swap, _no_record,
+        n_steps=kw["n_steps"], swap_every=kw["swap_every"],
+    )
     out_ref[...] = x
     acc_ref[0, 0] = acc[0, 0]
 
 
-def _pt_chain_traj_noise_kernel(
-    x_ref,
-    means_ref,
-    noise_ref,
-    swapu_ref,
-    out_ref,
-    acc_ref,
-    traj_ref,
-    scratch_ref,
-    sem_ref,
-    *,
-    n_steps,
-    swap_every,
-    thin,
-    step_size,
-    noise_coef,
-    betas,
-    inv_var,
-    n_components,
-    d,
-    block,
-    clamp,
-    noise_steps,
-):
-    """Injected-noise/uniform trajectory variant (exact-parity CI path)."""
-    means = means_ref[...]
-    R = len(betas)
-    rows = 8 * d
-    col0 = pl.program_id(0) * block
-    n_sweeps = n_steps // swap_every
-    rem = n_steps - n_sweeps * swap_every
-
-    def split_reps(x):
-        return [
-            _split_coords(x[r * rows : (r + 1) * rows], d) for r in range(R)
-        ]
-
-    def record(x, g):
-        @pl.when(g % thin == 0)
-        def _():
-            k = g // thin - 1
-            scratch_ref[...] = x[0:rows]
-            dma = pltpu.make_async_copy(
-                scratch_ref, traj_ref.at[k, :, pl.ds(col0, block)], sem_ref
-            )
-            dma.start()
-            dma.wait()
-
-    def langevin_all(x, i):
-        et = noise_ref[pl.ds(i, 1)][0]
-        reps = split_reps(x)
-        eps_reps = split_reps(et)
-        new = []
-        for r in range(R):
-            grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
-            cs = [
-                reps[r][j]
-                - (step_size * betas[r]) * grads[j]
-                + noise_coef * eps_reps[r][j]
-                for j in range(d)
-            ]
-            if clamp is not None:
-                cs = [jnp.clip(c, clamp[0], clamp[1]) for c in cs]
-            new.extend(cs)
-        return jnp.concatenate(new, axis=0)
-
-    def swap(x, s):
-        reps = split_reps(x)
-        logps = [
-            _tile_grad_logp(reps[r], means, inv_var, n_components, d)[1]
-            for r in range(R)
-        ]
-        coords = [list(reps[r]) for r in range(R)]
-        us = swapu_ref[pl.ds(s, 1)][0]
-        for r in range(R - 1):
-            u = us[r]
-            if R > 2:
-                active = (s % 2) == (r % 2)
-            else:
-                active = r % 2 == 0
-            delta = (betas[r] - betas[r + 1]) * (logps[r + 1] - logps[r])
-            p = jnp.minimum(jnp.exp(jnp.clip(delta, -50.0, 50.0)), 1.0)
-            do = jnp.logical_and(active, u < p)
-            for j in range(d):
-                lo, hi = coords[r][j], coords[r + 1][j]
-                coords[r][j] = jnp.where(do, hi, lo)
-                coords[r + 1][j] = jnp.where(do, lo, hi)
-            e_lo, e_hi = logps[r], logps[r + 1]
-            logps[r] = jnp.where(do, e_hi, e_lo)
-            logps[r + 1] = jnp.where(do, e_lo, e_hi)
-        return jnp.concatenate(sum(coords, []), axis=0)
-
-    def sweep_body(s, x):
-        for t in range(swap_every - 1):
-            x = langevin_all(x, s * swap_every + t)
-            record(x, s * swap_every + t + 1)
-        x = langevin_all(x, s * swap_every + swap_every - 1)
-        x = swap(x, s)
-        record(x, (s + 1) * swap_every)
-        return x
-
-    x = jax.lax.fori_loop(0, n_sweeps, sweep_body, x_ref[...])
-    for t in range(rem):
-        x = langevin_all(x, n_sweeps * swap_every + t)
-        record(x, n_sweeps * swap_every + t + 1)
+def _pt_chain_traj_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref,
+                          traj_ref, scratch_ref, sem_ref, *, kw, thin, block):
+    """In-kernel-PRNG PT chain recording every ``thin``-th COLD state."""
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    get_eps, get_swapu = _pt_prng_kernel_body(kw["betas"], kw["d"])
+    body_kw = {k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")}
+    langevin_all, swap = _pt_body(
+        get_eps, get_swapu, _no_record, means_ref[...], track_acc=True, **body_kw
+    )
+    record = _make_recorder(
+        traj_ref, scratch_ref, sem_ref, thin=thin,
+        rows_cold=8 * kw["d"], block=block,
+    )
+    x, acc = _run_ladder(
+        x_ref[...], langevin_all, swap, record,
+        n_steps=kw["n_steps"], swap_every=kw["swap_every"],
+    )
     out_ref[...] = x
-    acc_ref[0, 0] = jnp.float32(0.0)
+    acc_ref[0, 0] = acc[0, 0]
+
+
+def _pt_chain_traj_noise_kernel(x_ref, means_ref, noise_ref, swapu_ref,
+                                out_ref, acc_ref, traj_ref, scratch_ref,
+                                sem_ref, *, kw, thin, block):
+    """Injected-noise/uniform trajectory variant (exact-parity CI path)."""
+    body_kw = {k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")}
+    get_eps, get_swapu = _pt_injected_kernel_body(
+        noise_ref, swapu_ref, len(kw["betas"]), kw["d"]
+    )
+    langevin_all, swap = _pt_body(
+        get_eps, get_swapu, _no_record, means_ref[...], track_acc=False, **body_kw
+    )
+    record = _make_recorder(
+        traj_ref, scratch_ref, sem_ref, thin=thin,
+        rows_cold=8 * kw["d"], block=block,
+    )
+    x, acc = _run_ladder(
+        x_ref[...], langevin_all, swap, record,
+        n_steps=kw["n_steps"], swap_every=kw["swap_every"],
+    )
+    out_ref[...] = x
+    acc_ref[0, 0] = acc[0, 0]
+
+
+def _validate_and_pack(replicas, means, betas, swap_every, noise, swap_uniform,
+                       scale, log_weights, precision, name):
+    R, n_chains, dim = replicas.shape
+    betas = tuple(float(b) for b in betas)
+    if len(betas) != R:
+        raise ValueError(f"betas has {len(betas)} entries for {R} replicas")
+    if R < 2:
+        raise ValueError("parallel tempering needs >= 2 replicas")
+    if swap_every < 1:
+        raise ValueError("swap_every must be >= 1")
+    k, kd = means.shape
+    if kd != dim:
+        raise ValueError(f"means dim {kd} != state dim {dim}")
+    if dim > 64 or k * dim > 1024:
+        raise ValueError(
+            f"{name} unrolls K components x d dims in-kernel; K*d={k * dim}, "
+            f"d={dim} exceeds the supported size (d<=64, K*d<=1024)"
+        )
+    if (noise is None) != (swap_uniform is None):
+        raise ValueError("pass both noise= and swap_uniform=, or neither")
+    tiles = [chains_to_tiles(replicas[r])[0] for r in range(R)]
+    xt = jnp.concatenate(tiles, axis=0)
+    packed, n_comp = _pack_target(means, log_weights, precision)
+    return betas, xt, tiles[0].shape[1], packed, n_comp
+
+
+def _stage_injected(noise, swap_uniform, n_steps, n_sweeps, R, n_chains, dim,
+                    lanes):
+    """Tile the injected randomness; guards run BEFORE any stacking so a
+    zero-sweep chain stages a placeholder uniforms block instead of crashing
+    on an empty stack."""
+    if noise.shape != (n_steps, R, n_chains, dim):
+        raise ValueError(
+            f"noise must have shape {(n_steps, R, n_chains, dim)}, got {noise.shape}"
+        )
+    if swap_uniform.shape != (n_sweeps, R - 1, n_chains):
+        raise ValueError(
+            f"swap_uniform must have shape {(n_sweeps, R - 1, n_chains)}, "
+            f"got {swap_uniform.shape}"
+        )
+    nt = jnp.stack(
+        [
+            jnp.concatenate(
+                [chains_to_tiles(noise[t, r])[0] for r in range(R)], axis=0
+            )
+            for t in range(int(n_steps))
+        ]
+    )
+    if n_sweeps == 0:
+        ut = jnp.zeros((1, R - 1, 8, lanes), jnp.float32)
+    else:
+        ut = jnp.stack(
+            [
+                jnp.stack(
+                    [chains_to_tiles(swap_uniform[s, r][:, None])[0]
+                     for r in range(R - 1)]
+                )
+                for s in range(n_sweeps)
+            ]
+        )
+    return nt, ut
 
 
 def pt_langevin_chain(
@@ -535,47 +405,22 @@ def pt_langevin_chain(
     in-kernel (phase alternates per sweep for R > 2; the single pair is
     attempted every sweep for R == 2, matching
     ``samplers/parallel_tempering.py::step``). Returns ``(ladder, acc)``:
-    the final ``(R, B, d)`` state and the mean accept probability of the last
-    attempted sweep (``swap_acceptance_rate``; 0.0 on the injected-noise
-    parity path).
+    the final ``(R, B, d)`` state and the mean accept probability of the
+    last attempted sweep, averaged over grid blocks
+    (``swap_acceptance_rate``; 0.0 on the injected-noise parity path).
 
     ``noise``: ``(n_steps, R, B, d)`` Gaussian increments and ``swap_uniform``:
     ``(n_sweeps, R-1, B)`` exchange uniforms replace the in-kernel PRNG for
     exact-parity testing (both or neither).
     """
     R, n_chains, dim = replicas.shape
-    betas = tuple(float(b) for b in betas)
-    if len(betas) != R:
-        raise ValueError(f"betas has {len(betas)} entries for {R} replicas")
-    if R < 2:
-        raise ValueError("parallel tempering needs >= 2 replicas")
-    if swap_every < 1:
-        raise ValueError("swap_every must be >= 1")
-    k, kd = means.shape
-    if kd != dim:
-        raise ValueError(f"means dim {kd} != state dim {dim}")
-    if dim > 64 or k * dim > 1024:
-        raise ValueError(
-            f"pt_langevin_chain unrolls K*d in-kernel; K*d={k * dim}, d={dim} "
-            "exceeds the supported size (d<=64, K*d<=1024)"
-        )
-    if (noise is None) != (swap_uniform is None):
-        raise ValueError("pass both noise= and swap_uniform=, or neither")
-
+    betas, xt, lanes, packed, n_comp = _validate_and_pack(
+        replicas, means, betas, swap_every, noise, swap_uniform,
+        scale, log_weights, precision, "pt_langevin_chain",
+    )
     n_sweeps = int(n_steps) // int(swap_every)
-    # tile each replica independently, stack along sublanes: (R·8d, lanes)
-    tiles = [chains_to_tiles(replicas[r])[0] for r in range(R)]
-    lanes = tiles[0].shape[1]
-    xt = jnp.concatenate(tiles, axis=0)
-    packed, n_comp = _pack_target(means, log_weights, precision)
-
-    staged = 0
-    if noise is not None:
-        # noise stages n_steps (R·8d, block) tensors; the swap uniforms a
-        # further ~n_sweeps/(R·d)-equivalent — bounded above by n_sweeps
-        staged = int(n_steps) + n_sweeps
+    staged = 0 if noise is None else int(n_steps) + n_sweeps
     block = _mixture_block(lanes, R * dim, block_chains, n_staged=staged)
-
     rows = R * 8 * dim
     grid = (lanes // block,)
     kw = dict(
@@ -588,22 +433,21 @@ def pt_langevin_chain(
         n_components=n_comp,
         d=int(dim),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
-        noise_steps=int(n_steps) if noise is not None else 0,
     )
     state_spec = pl.BlockSpec((rows, block), lambda i: (0, i), memory_space=pltpu.VMEM)
     means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, grid[0]), jnp.float32),
     )
     out_specs = (
         state_spec,
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, i), memory_space=pltpu.SMEM),
     )
 
     if noise is None:
         final, acc = pl.pallas_call(
-            functools.partial(_pt_chain_kernel, **kw),
+            functools.partial(_pt_chain_kernel, kw=kw),
             out_shape=out_shape,
             grid=grid,
             in_specs=[
@@ -615,43 +459,19 @@ def pt_langevin_chain(
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), xt, packed)
     else:
-        if noise.shape != (n_steps, R, n_chains, dim):
-            raise ValueError(
-                f"noise must have shape {(n_steps, R, n_chains, dim)}, got {noise.shape}"
-            )
-        if swap_uniform.shape != (n_sweeps, R - 1, n_chains):
-            raise ValueError(
-                f"swap_uniform must have shape {(n_sweeps, R - 1, n_chains)}, "
-                f"got {swap_uniform.shape}"
-            )
-        nt = jnp.stack(
-            [
-                jnp.concatenate(
-                    [chains_to_tiles(noise[t, r])[0] for r in range(R)], axis=0
-                )
-                for t in range(int(n_steps))
-            ]
-        )
-        ut = jnp.stack(
-            [
-                jnp.stack([_chain_tile(swap_uniform[s, r]) for r in range(R - 1)])
-                for s in range(n_sweeps)
-            ]
+        nt, ut = _stage_injected(
+            noise, swap_uniform, int(n_steps), n_sweeps, R, n_chains, dim, lanes
         )
         noise_spec = pl.BlockSpec(
-            (int(n_steps), rows, block),
-            lambda i: (0, 0, i),
-            memory_space=pltpu.VMEM,
+            (int(n_steps), rows, block), lambda i: (0, 0, i), memory_space=pltpu.VMEM
         )
         swapu_spec = pl.BlockSpec(
             (max(n_sweeps, 1), R - 1, 8, block),
             lambda i: (0, 0, 0, i),
             memory_space=pltpu.VMEM,
         )
-        if n_sweeps == 0:
-            ut = jnp.zeros((1, R - 1, 8, lanes), jnp.float32)
         final, acc = pl.pallas_call(
-            functools.partial(_pt_chain_noise_kernel, **kw),
+            functools.partial(_pt_chain_noise_kernel, kw=kw),
             out_shape=out_shape,
             grid=grid,
             in_specs=[state_spec, means_spec, noise_spec, swapu_spec],
@@ -664,7 +484,7 @@ def pt_langevin_chain(
             for r in range(R)
         ]
     )
-    return ladder, acc[0, 0]
+    return ladder, jnp.mean(acc)
 
 
 def pt_langevin_chain_trajectory(
@@ -696,56 +516,31 @@ def pt_langevin_chain_trajectory(
     n_chains, d)``.
     """
     R, n_chains, dim = replicas.shape
-    betas = tuple(float(b) for b in betas)
-    if len(betas) != R:
-        raise ValueError(f"betas has {len(betas)} entries for {R} replicas")
-    if R < 2:
-        raise ValueError("parallel tempering needs >= 2 replicas")
-    if swap_every < 1:
-        raise ValueError("swap_every must be >= 1")
     if thin < 1:
         raise ValueError("thin must be >= 1")
     n_kept = int(n_steps) // int(thin)
     if n_kept < 1:
         raise ValueError("n_steps // thin must be >= 1 for trajectory output")
-    k, kd = means.shape
-    if kd != dim:
-        raise ValueError(f"means dim {kd} != state dim {dim}")
-    if dim > 64 or k * dim > 1024:
-        raise ValueError(
-            f"pt_langevin_chain_trajectory unrolls K*d in-kernel; K*d={k * dim},"
-            f" d={dim} exceeds the supported size (d<=64, K*d<=1024)"
-        )
-    if (noise is None) != (swap_uniform is None):
-        raise ValueError("pass both noise= and swap_uniform=, or neither")
-
+    betas, xt, lanes, packed, n_comp = _validate_and_pack(
+        replicas, means, betas, swap_every, noise, swap_uniform,
+        scale, log_weights, precision, "pt_langevin_chain_trajectory",
+    )
     n_sweeps = int(n_steps) // int(swap_every)
-    tiles = [chains_to_tiles(replicas[r])[0] for r in range(R)]
-    lanes = tiles[0].shape[1]
-    xt = jnp.concatenate(tiles, axis=0)
-    packed, n_comp = _pack_target(means, log_weights, precision)
-
-    staged = 0
-    if noise is not None:
-        staged = int(n_steps) + n_sweeps
+    staged = 0 if noise is None else int(n_steps) + n_sweeps
     block = _mixture_block(lanes, R * dim, block_chains, n_staged=staged + 1)
-
     rows_all = R * 8 * dim
     rows_cold = 8 * dim
     grid = (lanes // block,)
     kw = dict(
         n_steps=int(n_steps),
         swap_every=int(swap_every),
-        thin=int(thin),
         step_size=float(step_size),
         noise_coef=float(noise_scale) * math.sqrt(2.0 * float(step_size)),
         betas=betas,
         inv_var=1.0 / float(scale) ** 2,
         n_components=n_comp,
         d=int(dim),
-        block=int(block),
         clamp=(float(clamp[0]), float(clamp[1])) if clamp is not None else None,
-        noise_steps=int(n_steps) if noise is not None else 0,
     )
     state_spec = pl.BlockSpec(
         (rows_all, block), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -753,12 +548,12 @@ def pt_langevin_chain_trajectory(
     means_spec = pl.BlockSpec(packed.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
     out_shape = (
         jax.ShapeDtypeStruct((rows_all, lanes), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, grid[0]), jnp.float32),
         jax.ShapeDtypeStruct((n_kept, rows_cold, lanes), jnp.float32),
     )
     out_specs = (
         state_spec,
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, i), memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     )
     scratch = [
@@ -768,7 +563,9 @@ def pt_langevin_chain_trajectory(
 
     if noise is None:
         final, acc, traj = pl.pallas_call(
-            functools.partial(_pt_chain_traj_kernel, **kw),
+            functools.partial(
+                _pt_chain_traj_kernel, kw=kw, thin=int(thin), block=int(block)
+            ),
             out_shape=out_shape,
             grid=grid,
             in_specs=[
@@ -781,31 +578,9 @@ def pt_langevin_chain_trajectory(
             interpret=interpret,
         )(jnp.asarray(seed, jnp.int32).reshape(1), xt, packed)
     else:
-        if noise.shape != (n_steps, R, n_chains, dim):
-            raise ValueError(
-                f"noise must have shape {(n_steps, R, n_chains, dim)}, got {noise.shape}"
-            )
-        if swap_uniform.shape != (n_sweeps, R - 1, n_chains):
-            raise ValueError(
-                f"swap_uniform must have shape {(n_sweeps, R - 1, n_chains)}, "
-                f"got {swap_uniform.shape}"
-            )
-        nt = jnp.stack(
-            [
-                jnp.concatenate(
-                    [chains_to_tiles(noise[t, r])[0] for r in range(R)], axis=0
-                )
-                for t in range(int(n_steps))
-            ]
+        nt, ut = _stage_injected(
+            noise, swap_uniform, int(n_steps), n_sweeps, R, n_chains, dim, lanes
         )
-        ut = jnp.stack(
-            [
-                jnp.stack([_chain_tile(swap_uniform[s, r]) for r in range(R - 1)])
-                for s in range(n_sweeps)
-            ]
-        )
-        if n_sweeps == 0:
-            ut = jnp.zeros((1, R - 1, 8, lanes), jnp.float32)
         noise_spec = pl.BlockSpec(
             (int(n_steps), rows_all, block),
             lambda i: (0, 0, i),
@@ -817,7 +592,9 @@ def pt_langevin_chain_trajectory(
             memory_space=pltpu.VMEM,
         )
         final, acc, traj = pl.pallas_call(
-            functools.partial(_pt_chain_traj_noise_kernel, **kw),
+            functools.partial(
+                _pt_chain_traj_noise_kernel, kw=kw, thin=int(thin), block=int(block)
+            ),
             out_shape=out_shape,
             grid=grid,
             in_specs=[state_spec, means_spec, noise_spec, swapu_spec],
@@ -832,4 +609,4 @@ def pt_langevin_chain_trajectory(
         ]
     )
     traj_chains = jax.vmap(lambda t: tiles_to_chains(t, n_chains, dim))(traj)
-    return traj_chains, ladder, acc[0, 0]
+    return traj_chains, ladder, jnp.mean(acc)

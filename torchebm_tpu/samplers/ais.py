@@ -100,19 +100,7 @@ def _ais_impl(target, base, key, betas, step_size, n_samples, n_transitions):
     inputs = (betas[:-1], betas[1:], jnp.arange(n_rungs))
     (x_f, logw), accs = jax.lax.scan(rung, (x0, jnp.zeros(n_samples)), inputs)
 
-    log_n = math.log(n_samples)
-    log_z_ratio = jax.scipy.special.logsumexp(logw) - log_n
-    ess = jnp.exp(
-        2.0 * jax.scipy.special.logsumexp(logw) - jax.scipy.special.logsumexp(2.0 * logw)
-    )
-    return AISResult(
-        samples=x_f,
-        log_weights=logw,
-        log_z=base.log_z() + log_z_ratio,
-        log_z_ratio=log_z_ratio,
-        ess=ess,
-        acceptance_rate=jnp.mean(accs),
-    )
+    return _ais_statistics(base, x_f, logw, jnp.mean(accs), n_samples)
 
 
 def _fused_target_kwargs(target: Energy):

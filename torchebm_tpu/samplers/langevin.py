@@ -323,6 +323,24 @@ class LangevinDynamics(BaseSampler):
                 return row
         return None
 
+    def _dispatch_row(
+        self, key, x, model_kwargs
+    ) -> Optional[_FusedRow]:
+        """Generic fused gates + row lookup in ONE pass (None = scan path)."""
+        if self.fused == "off":
+            return None
+        if self.fused != "force" and jax.default_backend() != "tpu":
+            return None
+        if model_kwargs:
+            return None
+        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
+            return None
+        if type(self.integrator) is not EulerMaruyamaIntegrator:
+            return None
+        if not _sched_concrete(self.step_size) or not _sched_concrete(self.noise_scale):
+            return None
+        return self._fused_row()
+
     def _fusable(self, key, x, return_trajectory, return_diagnostics, model_kwargs) -> bool:
         """Whether this exact call maps onto a whole-chain Pallas kernel.
 
@@ -357,6 +375,9 @@ class LangevinDynamics(BaseSampler):
         if not _sched_concrete(self.step_size) or not _sched_concrete(self.noise_scale):
             return False
         return self._fused_row() is not None
+
+    # NOTE: kept as the documented boolean API; sample() uses _dispatch_row
+    # so the (host-side) row predicates run once per call, not twice.
 
     def _fused_diagnostics(self, traj):
         """Per-kept-slot diagnostics computed from the kernel trajectory.
@@ -429,10 +450,10 @@ class LangevinDynamics(BaseSampler):
                     and jax.default_backend() != "tpu",
                 )
             # unsupported shape/width: fall through to the scan path
-        if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
+        row = self._dispatch_row(key, x, model_kwargs)
+        if row is not None:
             from ..ops import fused_langevin as ops
 
-            row = self._fused_row()
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
             kargs = row.kernel_kwargs(self, x0)

@@ -218,6 +218,14 @@ class ParallelTemperingLangevin(BaseSampler):
             return False
         return self._fused_row() is not None
 
+    def _dispatch_row(self, key, x, return_trajectory, return_diagnostics, model_kwargs):
+        """Gates + row lookup in one pass (None = scan path)."""
+        if not self._fusable(
+            key, x, return_trajectory, return_diagnostics, model_kwargs
+        ):
+            return None
+        return self._fused_row()
+
     def sample(
         self,
         key: Array,
@@ -235,10 +243,12 @@ class ParallelTemperingLangevin(BaseSampler):
         on mixture-family targets dispatch the whole ladder — Langevin steps
         AND exchange sweeps — to :func:`torchebm_tpu.ops.fused_pt.pt_langevin_chain`
         (one kernel launch, state never leaves VMEM)."""
-        if self._fusable(key, x, return_trajectory, return_diagnostics, model_kwargs):
+        row = self._dispatch_row(
+            key, x, return_trajectory, return_diagnostics, model_kwargs
+        )
+        if row is not None:
             from ..ops import fused_pt as ops_pt
 
-            row = self._fused_row()
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
             kargs = row.kernel_kwargs(self, x0)
@@ -307,14 +317,14 @@ class ParallelTemperingLangevin(BaseSampler):
         # eager full-ladder kernel dispatch (the PT-CD persistence hot path
         # when driven outside a user jit); traced/conditioned calls use the
         # compiled scan, which shards and differentiates transparently
-        if (
-            not isinstance(replicas, jax.core.Tracer)
-            and replicas.ndim == 3
-            and self._fusable(key, replicas, False, False, model_kwargs)
-        ):
+        row = (
+            self._dispatch_row(key, replicas, False, False, model_kwargs)
+            if not isinstance(replicas, jax.core.Tracer) and replicas.ndim == 3
+            else None
+        )
+        if row is not None:
             from ..ops import fused_pt as ops_pt
 
-            row = self._fused_row()
             kargs = row.kernel_kwargs(self, replicas[0])
             if kargs is not None:
                 seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max)
