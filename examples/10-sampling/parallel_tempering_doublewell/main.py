@@ -49,6 +49,25 @@ def main():
     print(f"swap acceptance : {float(diag['swap_acceptance_rate'][-1]):.3f}")
     if not smoke:
         assert 0.3 < frac < 0.7, "cold chain failed to mix"
+
+    # Mixture-family targets additionally ride the whole-LADDER Pallas
+    # kernel on eager TPU calls (ops/fused_pt.py: every temperature's
+    # Langevin step AND the exchange sweeps in one launch, measured 7.3x
+    # the compiled scan) — the code below is identical either way.
+    from torchebm_tpu.core import GaussianMixtureEnergy
+
+    mix = GaussianMixtureEnergy.eight_gaussians(radius=4.0, scale=0.3)
+    pt_mix = ParallelTemperingLangevin(
+        mix, temperatures=(1.0, 1.6, 2.56, 4.1), step_size=0.05, swap_every=5
+    )
+    x0_ring = jnp.tile(jnp.array([[4.0, 0.0]]), (n_chains, 1))  # one mode
+    cold = pt_mix.sample(jax.random.fold_in(key, 1), x=x0_ring, n_steps=n_steps)
+    ang = jnp.arctan2(cold[:, 1], cold[:, 0])
+    occupied = int(jnp.sum(jnp.histogram(ang, bins=8, range=(-3.15, 3.15))[0] > 0))
+    print(f"8gaussians ladder: modes occupied {occupied}/8 "
+          f"(started all chains in ONE mode)")
+    if not smoke:
+        assert occupied >= 6, "tempered ladder failed to spread over the ring"
     print("OK")
 
 
