@@ -116,3 +116,59 @@ def test_trajectory_final_slot_matches_plain_run(name, sampler, energy, key):
     np.testing.assert_allclose(
         np.asarray(traj[:, -1]), np.asarray(plain), rtol=1e-5, atol=1e-6
     )
+
+
+class TestGDFusedDispatch:
+    """GradientDescentSampler rides the Langevin chain kernels at
+    noise_scale=0 (an exact no-op term) on eager TPU calls."""
+
+    def test_force_routes_and_matches_scan_exactly(self, monkeypatch):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        import torchebm_tpu.ops.fused_langevin as fl
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        from torchebm_tpu.samplers import GradientDescentSampler
+
+        key = jax.random.PRNGKey(0)
+        calls = []
+
+        def stub(x0, means, n_steps, step_size, noise_scale, **kw):
+            calls.append((x0.shape, noise_scale, kw.get("seed")))
+            return x0
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", stub)
+        mix = GaussianMixtureEnergy.eight_gaussians(scale=0.4)
+        gd = GradientDescentSampler(mix, step_size=0.05, fused="force")
+        out = gd.sample(key, dim=2, n_samples=16, n_steps=4)
+        assert calls == [((16, 2), 0.0, 0)]
+        assert out.shape == (16, 2)
+
+        # real-kernel equivalence in interpret mode: noise_scale=0 means the
+        # in-kernel PRNG contribution is exactly zero -> matches the scan
+        monkeypatch.undo()
+        x0 = mix.sample(key, 64)
+        scan = GradientDescentSampler(mix, step_size=0.05, fused="off").sample(
+            key, x=x0, n_steps=20
+        )
+        kernel = fl.mixture_langevin_chain(
+            x0, mix.means, 20, 0.05, 0.0, scale=float(mix.scale),
+            log_weights=mix.log_weights,
+            noise=jnp.zeros((20, 64, 2)), interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(kernel), np.asarray(scan), atol=2e-5)
+
+    def test_default_off_on_cpu(self, monkeypatch):
+        import jax
+
+        import torchebm_tpu.ops.fused_langevin as fl
+        from torchebm_tpu.core import GaussianMixtureEnergy
+        from torchebm_tpu.samplers import GradientDescentSampler
+
+        def boom(*a, **k):  # pragma: no cover
+            raise AssertionError("GD fused kernel called on CPU under 'auto'")
+
+        monkeypatch.setattr(fl, "mixture_langevin_chain", boom)
+        gd = GradientDescentSampler(GaussianMixtureEnergy.eight_gaussians(), step_size=0.05)
+        assert gd.sample(jax.random.PRNGKey(0), dim=2, n_samples=8, n_steps=4).shape == (8, 2)

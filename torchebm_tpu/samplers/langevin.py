@@ -194,6 +194,49 @@ def _mixture_kwargs(s: "LangevinDynamics", x0: Array) -> Optional[dict]:
     return dict(means=m.means, scale=float(m.scale), log_weights=m.log_weights)
 
 
+def _call_fused_row(
+    row,
+    x0,
+    model,
+    *,
+    n_steps,
+    thin,
+    return_trajectory,
+    return_diagnostics,
+    kargs,
+    step_size,
+    noise_scale,
+    seed,
+    clamp,
+    interpret,
+):
+    """Invoke a dispatch row's chain/trajectory kernel and package outputs.
+
+    Shared by :class:`LangevinDynamics` and the zero-noise
+    :class:`~torchebm_tpu.samplers.gradient_descent.GradientDescentSampler`
+    dispatch (GD is exactly the Langevin kernel at ``noise_scale = 0``)."""
+    from ..ops import fused_langevin as ops
+
+    common = dict(
+        n_steps=int(n_steps),
+        step_size=step_size,
+        noise_scale=noise_scale,
+        seed=seed,
+        clamp=clamp,
+        interpret=interpret,
+    )
+    if return_trajectory or return_diagnostics:
+        traj, final = getattr(ops, row.trajectory)(x0, thin=int(thin), **kargs, **common)
+        out = jnp.moveaxis(traj, 0, 1) if return_trajectory else final
+        if not return_diagnostics:
+            return out
+        mean = jnp.mean(traj, axis=1)
+        var = jnp.clip(jnp.var(traj, axis=1), 1e-10, 1e10)
+        energy = jax.vmap(lambda xx: jnp.mean(model.energy(xx)))(traj)
+        return out, {"mean": mean, "var": var, "energy": energy}
+    return getattr(ops, row.chain)(x0, **kargs, **common)
+
+
 #: ordered dispatch rows; first row whose ``model_type`` + ``supports`` match
 #: wins (the order only matters if two rows ever claim the same model type).
 FUSED_DISPATCH: Tuple[_FusedRow, ...] = (
@@ -379,17 +422,6 @@ class LangevinDynamics(BaseSampler):
     # NOTE: kept as the documented boolean API; sample() uses _dispatch_row
     # so the (host-side) row predicates run once per call, not twice.
 
-    def _fused_diagnostics(self, traj):
-        """Per-kept-slot diagnostics computed from the kernel trajectory.
-
-        Same keys/shapes as the scan loop's diagnostics channel
-        (``base.py::_sample_impl``): ``mean``/``var`` over chains per slot,
-        batch-mean ``energy``. Langevin has no extra diagnostics."""
-        mean = jnp.mean(traj, axis=1)
-        var = jnp.clip(jnp.var(traj, axis=1), 1e-10, 1e10)
-        energy = jax.vmap(lambda xx: jnp.mean(self.model.energy(xx)))(traj)
-        return {"mean": mean, "var": var, "energy": energy}
-
     def _isotropic_gaussian_scale(self):
         """σ if ``model`` is a concrete isotropic Gaussian (cov = σ²I), else None."""
         return _isotropic_scale(self.model)
@@ -452,8 +484,6 @@ class LangevinDynamics(BaseSampler):
             # unsupported shape/width: fall through to the scan path
         row = self._dispatch_row(key, x, model_kwargs)
         if row is not None:
-            from ..ops import fused_langevin as ops
-
             key_init, key_run = jax.random.split(key)
             x0 = self._init_state(key_init, x, dim, n_samples)
             kargs = row.kernel_kwargs(self, x0)
@@ -461,8 +491,15 @@ class LangevinDynamics(BaseSampler):
                 not (return_trajectory or return_diagnostics) or n_steps // thin >= 1
             ):
                 seed = jax.random.randint(key_run, (), 0, jnp.iinfo(jnp.int32).max)
-                common = dict(
-                    n_steps=int(n_steps),
+                return _call_fused_row(
+                    row,
+                    x0,
+                    self.model,
+                    n_steps=n_steps,
+                    thin=thin,
+                    return_trajectory=return_trajectory,
+                    return_diagnostics=return_diagnostics,
+                    kargs=kargs,
                     step_size=_sched_table_arg(self.step_size, n_steps),
                     noise_scale=_sched_table_arg(self.noise_scale, n_steps),
                     seed=seed,
@@ -470,15 +507,6 @@ class LangevinDynamics(BaseSampler):
                     interpret=self.fused == "force"
                     and jax.default_backend() != "tpu",
                 )
-                if return_trajectory or return_diagnostics:
-                    traj, final = getattr(ops, row.trajectory)(
-                        x0, thin=int(thin), **kargs, **common
-                    )
-                    out = jnp.moveaxis(traj, 0, 1) if return_trajectory else final
-                    if not return_diagnostics:
-                        return out
-                    return out, self._fused_diagnostics(traj)
-                return getattr(ops, row.chain)(x0, **kargs, **common)
             # unsupported state shape / n_steps < thin: fall through to the scan
         if (
             self.noise_block > 1
