@@ -223,30 +223,56 @@ def bench_pt_8gaussians(iters: int) -> dict:
 def bench_ais(iters: int) -> dict:
     """AIS log-Z estimation on 8gaussians: whole-run kernel
     (``ops/fused_ais.py`` — weight accumulation + every MALA transition in
-    one launch) vs the compiled scan; slope over rung count."""
+    one launch) vs the compiled scan.
+
+    The kernel's SMEM β table caps one launch at 60k rungs (~50 ms of
+    device work at 16k chains — far below the ≥1 s slope rule), so the
+    fused side slopes over the number of 40k-rung launches CHAINED INSIDE
+    ONE JIT: 2 vs 27 launches = a 1M-rung spread."""
     import jax
     import jax.numpy as jnp
 
     from torchebm_tpu.core import GaussianEnergy, GaussianMixtureEnergy
+    from torchebm_tpu.ops import mixture_ais_run
     from torchebm_tpu.samplers import annealed_importance_sampling
 
     chains = 16384
+    rungs_per_launch = 40_000
     key = jax.random.PRNGKey(0)
     mix = GaussianMixtureEnergy.eight_gaussians()
     base = GaussianEnergy.create(jnp.zeros(2), 9.0 * jnp.eye(2))
+    betas = jnp.linspace(0.0, 1.0, rungs_per_launch + 1)
+    x0 = 3.0 * jax.random.normal(key, (chains, 2))
 
-    def run(fused):
-        def go(n, i):
-            res = annealed_importance_sampling(
-                jax.random.fold_in(key, i), mix, base=base,
-                n_samples=chains, n_rungs=n, step_size=0.05, fused=fused,
-            )
-            return res.log_z  # scalar fence
+    def make_chained(n_launches):
+        @jax.jit
+        def go(x, seed):
+            tot = 0.0
+            for i in range(n_launches):
+                x, logw, _ = mixture_ais_run(
+                    x, jnp.zeros(2), 3.0, mix.means, betas, 0.05,
+                    scale=float(mix.scale), log_weights=mix.log_weights,
+                    seed=seed + i,
+                )
+                tot = tot + jnp.sum(logw)
+            return tot
 
         return go
 
-    per_fused = _slope_time(run("auto"), 5_000, 55_000, iters)
-    per_scan = _slope_time(run("off"), 1_000, 16_000, iters)
+    chained = {n: make_chained(n) for n in (2, 27)}
+
+    def run_fused(n_launches, i):
+        return chained[n_launches](x0, jnp.int32(i * 7))
+
+    def run_scan(n, i):
+        res = annealed_importance_sampling(
+            jax.random.fold_in(key, i), mix, base=base,
+            n_samples=chains, n_rungs=n, step_size=0.05, fused="off",
+        )
+        return res.log_z  # scalar fence
+
+    per_fused = _slope_time(run_fused, 2, 27, iters) / rungs_per_launch
+    per_scan = _slope_time(run_scan, 2_000, 60_000, iters)
     # quality sanity at the nominal 200-rung config (true log Z = 0)
     logz = float(
         annealed_importance_sampling(

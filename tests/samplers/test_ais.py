@@ -136,3 +136,21 @@ class TestFusedDispatch:
             annealed_importance_sampling(
                 key, GaussianMixtureEnergy.eight_gaussians(), dim=2, fused="y"
             )
+
+
+def test_long_schedule_falls_back_to_scan(key, monkeypatch):
+    """n_rungs past the SMEM table cap must quietly take the scan path from
+    the public entry point (the kernel wrapper's hard error is for direct
+    callers only)."""
+    import torchebm_tpu.ops.fused_ais as fa
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("over-cap schedule must use the scan path")
+
+    monkeypatch.setattr(fa, "mixture_ais_run", boom)
+    mix = GaussianMixtureEnergy.eight_gaussians()
+    res = annealed_importance_sampling(
+        key, mix, dim=2, n_samples=8, n_rungs=60_010, step_size=0.1,
+        fused="force",
+    )
+    assert res.samples.shape == (8, 2)

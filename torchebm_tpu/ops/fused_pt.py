@@ -78,9 +78,8 @@ def _split_ladder(x, R, d):
 
 
 def _pt_body(
-    get_eps,
+    get_eps_all,
     get_swapu,
-    record,
     means,
     *,
     betas,
@@ -92,23 +91,24 @@ def _pt_body(
     clamp,
     track_acc,
 ):
-    """The shared ladder program: returns ``(langevin_all, swap, sweep_body)``.
+    """The shared ladder program: returns ``(langevin_all, swap)``.
 
-    ``get_eps(t, shape)`` supplies the d normal tiles for ONE replica at
-    global step ``t`` (replica index threaded via a second call-position
-    argument); ``get_swapu(s, r, shape)`` the exchange uniforms for pair
-    ``r`` at sweep ``s``; ``record(x, g)`` the (possibly no-op) trajectory
-    recorder at global step ``g``. ``track_acc`` keeps the last sweep's
-    blockwise mean accept probability (the PRNG path's diagnostic channel).
+    ``get_eps_all(t, shape)`` supplies the per-replica lists of d normal
+    tiles for global step ``t`` (one fetch/draw for the whole ladder);
+    ``get_swapu(s, r, shape)`` the exchange uniforms for pair ``r`` at sweep
+    ``s``. Trajectory recording is wired into :func:`_run_ladder`, not here.
+    ``track_acc`` keeps the last sweep's blockwise mean accept probability
+    (the PRNG path's diagnostic channel).
     """
     R = len(betas)
 
     def langevin_all(x, t):
         reps = _split_ladder(x, R, d)
+        eps_all = get_eps_all(t, reps[0][0].shape)
         new = []
         for r in range(R):
             grads, _ = _tile_grad_logp(reps[r], means, inv_var, n_components, d)
-            eps = get_eps(t, r, reps[r][0].shape)
+            eps = eps_all[r]
             cs = [
                 reps[r][j] - (step_size * betas[r]) * grads[j] + noise_coef * eps[j]
                 for j in range(d)
@@ -211,33 +211,35 @@ def _make_recorder(traj_ref, scratch_ref, sem_ref, *, thin, rows_cold, block):
     return record
 
 
-def _pt_prng_kernel_body(betas, d, **kw):
-    def get_eps(t, r, shape):
-        return _normal_tiles(shape, d)
+def _pt_prng_kernel_body(R, d):
+    # draws happen per replica in ascending order — the same PRNG stream as
+    # an in-loop draw would consume
+    def get_eps_all(t, shape):
+        return [_normal_tiles(shape, d) for _ in range(R)]
 
     def get_swapu(s, r, shape):
         return _uniform_from_bits(shape)
 
-    return get_eps, get_swapu
+    return get_eps_all, get_swapu
 
 
 def _pt_injected_kernel_body(noise_ref, swapu_ref, R, d):
-    def get_eps(t, r, shape):
-        et = noise_ref[pl.ds(t, 1)][0]
-        return _split_ladder(et, R, d)[r]
+    def get_eps_all(t, shape):
+        et = noise_ref[pl.ds(t, 1)][0]  # ONE slab fetch + split per step
+        return _split_ladder(et, R, d)
 
     def get_swapu(s, r, shape):
         return swapu_ref[pl.ds(s, 1)][0, r]
 
-    return get_eps, get_swapu
+    return get_eps_all, get_swapu
 
 
 def _pt_chain_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref, *, kw):
     """In-kernel-PRNG PT chain. ``kw['betas']`` is the static ladder tuple."""
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    get_eps, get_swapu = _pt_prng_kernel_body(kw["betas"], kw["d"])
+    get_eps_all, get_swapu = _pt_prng_kernel_body(len(kw["betas"]), kw["d"])
     langevin_all, swap = _pt_body(
-        get_eps, get_swapu, _no_record, means_ref[...], track_acc=True,
+        get_eps_all, get_swapu, means_ref[...], track_acc=True,
         **{k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")},
     )
     x, acc = _run_ladder(
@@ -256,11 +258,11 @@ def _pt_chain_noise_kernel(x_ref, means_ref, noise_ref, swapu_ref, out_ref,
     ``swapu_ref``: ``(n_sweeps, R-1, 8, block)`` exchange uniforms.
     """
     body_kw = {k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")}
-    get_eps, get_swapu = _pt_injected_kernel_body(
+    get_eps_all, get_swapu = _pt_injected_kernel_body(
         noise_ref, swapu_ref, len(kw["betas"]), kw["d"]
     )
     langevin_all, swap = _pt_body(
-        get_eps, get_swapu, _no_record, means_ref[...], track_acc=False, **body_kw
+        get_eps_all, get_swapu, means_ref[...], track_acc=False, **body_kw
     )
     x, acc = _run_ladder(
         x_ref[...], langevin_all, swap, _no_record,
@@ -274,10 +276,10 @@ def _pt_chain_traj_kernel(seed_ref, x_ref, means_ref, out_ref, acc_ref,
                           traj_ref, scratch_ref, sem_ref, *, kw, thin, block):
     """In-kernel-PRNG PT chain recording every ``thin``-th COLD state."""
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    get_eps, get_swapu = _pt_prng_kernel_body(kw["betas"], kw["d"])
+    get_eps_all, get_swapu = _pt_prng_kernel_body(len(kw["betas"]), kw["d"])
     body_kw = {k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")}
     langevin_all, swap = _pt_body(
-        get_eps, get_swapu, _no_record, means_ref[...], track_acc=True, **body_kw
+        get_eps_all, get_swapu, means_ref[...], track_acc=True, **body_kw
     )
     record = _make_recorder(
         traj_ref, scratch_ref, sem_ref, thin=thin,
@@ -296,11 +298,11 @@ def _pt_chain_traj_noise_kernel(x_ref, means_ref, noise_ref, swapu_ref,
                                 sem_ref, *, kw, thin, block):
     """Injected-noise/uniform trajectory variant (exact-parity CI path)."""
     body_kw = {k: v for k, v in kw.items() if k not in ("n_steps", "swap_every")}
-    get_eps, get_swapu = _pt_injected_kernel_body(
+    get_eps_all, get_swapu = _pt_injected_kernel_body(
         noise_ref, swapu_ref, len(kw["betas"]), kw["d"]
     )
     langevin_all, swap = _pt_body(
-        get_eps, get_swapu, _no_record, means_ref[...], track_acc=False, **body_kw
+        get_eps_all, get_swapu, means_ref[...], track_acc=False, **body_kw
     )
     record = _make_recorder(
         traj_ref, scratch_ref, sem_ref, thin=thin,
@@ -315,7 +317,7 @@ def _pt_chain_traj_noise_kernel(x_ref, means_ref, noise_ref, swapu_ref,
 
 
 def _validate_and_pack(replicas, means, betas, swap_every, noise, swap_uniform,
-                       scale, log_weights, precision, name):
+                       log_weights, precision, name):
     R, n_chains, dim = replicas.shape
     betas = tuple(float(b) for b in betas)
     if len(betas) != R:
@@ -416,7 +418,7 @@ def pt_langevin_chain(
     R, n_chains, dim = replicas.shape
     betas, xt, lanes, packed, n_comp = _validate_and_pack(
         replicas, means, betas, swap_every, noise, swap_uniform,
-        scale, log_weights, precision, "pt_langevin_chain",
+        log_weights, precision, "pt_langevin_chain",
     )
     n_sweeps = int(n_steps) // int(swap_every)
     staged = 0 if noise is None else int(n_steps) + n_sweeps
@@ -523,7 +525,7 @@ def pt_langevin_chain_trajectory(
         raise ValueError("n_steps // thin must be >= 1 for trajectory output")
     betas, xt, lanes, packed, n_comp = _validate_and_pack(
         replicas, means, betas, swap_every, noise, swap_uniform,
-        scale, log_weights, precision, "pt_langevin_chain_trajectory",
+        log_weights, precision, "pt_langevin_chain_trajectory",
     )
     n_sweeps = int(n_steps) // int(swap_every)
     staged = 0 if noise is None else int(n_steps) + n_sweeps

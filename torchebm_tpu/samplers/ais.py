@@ -151,6 +151,8 @@ def _ais_fusable(key, target, base, betas, fused: str) -> bool:
         return False
     if type(base) is not GaussianEnergy or _isotropic_scale(base) is None:
         return False
+    if betas.shape[0] - 1 > 60_000:
+        return False  # beta table would exceed SMEM; the scan handles it
     return _fused_target_kwargs(target) is not None
 
 

@@ -57,17 +57,11 @@ class GradientDescentSampler(BaseSampler):
         return _isotropic_scale(self.model)
 
     def _dispatch_row(self, key, x, model_kwargs):
-        from .langevin import FUSED_DISPATCH, _sched_concrete
+        from .langevin import FUSED_DISPATCH, _fused_gates_ok
 
-        if self.fused == "off":
-            return None
-        if self.fused != "force" and jax.default_backend() != "tpu":
-            return None
-        if model_kwargs:
-            return None
-        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
-            return None
-        if not _sched_concrete(self.step_size):
+        if not _fused_gates_ok(
+            self, key, x, model_kwargs, schedulables=(self.step_size,)
+        ):
             return None
         for row in FUSED_DISPATCH:
             if type(self.model) is row.model_type and row.supports(self):

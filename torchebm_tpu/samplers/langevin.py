@@ -194,6 +194,25 @@ def _mixture_kwargs(s: "LangevinDynamics", x0: Array) -> Optional[dict]:
     return dict(means=m.means, scale=float(m.scale), log_weights=m.log_weights)
 
 
+def _fused_gates_ok(sampler, key, x, model_kwargs, *, schedulables,
+                    integrator=None) -> bool:
+    """The generic fused-dispatch gates shared by Langevin / PT / GD:
+    eager single-program calls on TPU (or forced), no conditioning, and
+    concrete schedulable parameters (plus the default-EM integrator where
+    one exists)."""
+    if sampler.fused == "off":
+        return False
+    if sampler.fused != "force" and jax.default_backend() != "tpu":
+        return False
+    if model_kwargs:
+        return False
+    if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
+        return False
+    if integrator is not None and type(integrator) is not EulerMaruyamaIntegrator:
+        return False
+    return all(_sched_concrete(p) for p in schedulables)
+
+
 def _call_fused_row(
     row,
     x0,
@@ -370,17 +389,11 @@ class LangevinDynamics(BaseSampler):
         self, key, x, model_kwargs
     ) -> Optional[_FusedRow]:
         """Generic fused gates + row lookup in ONE pass (None = scan path)."""
-        if self.fused == "off":
-            return None
-        if self.fused != "force" and jax.default_backend() != "tpu":
-            return None
-        if model_kwargs:
-            return None
-        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
-            return None
-        if type(self.integrator) is not EulerMaruyamaIntegrator:
-            return None
-        if not _sched_concrete(self.step_size) or not _sched_concrete(self.noise_scale):
+        if not _fused_gates_ok(
+            self, key, x, model_kwargs,
+            schedulables=(self.step_size, self.noise_scale),
+            integrator=self.integrator,
+        ):
             return None
         return self._fused_row()
 
@@ -405,19 +418,7 @@ class LangevinDynamics(BaseSampler):
         ``fused="off"`` disables; ``"force"`` skips the TPU-backend check
         (kernel-stub tests).
         """
-        if self.fused == "off":
-            return False
-        if self.fused != "force" and jax.default_backend() != "tpu":
-            return False
-        if model_kwargs:
-            return False
-        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
-            return False
-        if type(self.integrator) is not EulerMaruyamaIntegrator:
-            return False
-        if not _sched_concrete(self.step_size) or not _sched_concrete(self.noise_scale):
-            return False
-        return self._fused_row() is not None
+        return self._dispatch_row(key, x, model_kwargs) is not None
 
     # NOTE: kept as the documented boolean API; sample() uses _dispatch_row
     # so the (host-side) row predicates run once per call, not twice.

@@ -202,26 +202,26 @@ class ParallelTemperingLangevin(BaseSampler):
         concrete Gaussian — full covariances with d ≤ 32 via the
         precision-packed evaluator). Same conventions as
         :meth:`LangevinDynamics._fusable`."""
-        from .base import _concrete_scalar
-
-        if self.fused == "off":
-            return False
-        if self.fused != "force" and jax.default_backend() != "tpu":
-            return False
-        if model_kwargs or return_diagnostics:
-            return False
-        if isinstance(key, jax.core.Tracer) or isinstance(x, jax.core.Tracer):
-            return False
-        if not _concrete_scalar(self.step_size) or not _concrete_scalar(
-            self.noise_scale
-        ):
-            return False
-        return self._fused_row() is not None
+        return (
+            self._dispatch_row(
+                key, x, return_trajectory, return_diagnostics, model_kwargs
+            )
+            is not None
+        )
 
     def _dispatch_row(self, key, x, return_trajectory, return_diagnostics, model_kwargs):
-        """Gates + row lookup in one pass (None = scan path)."""
-        if not self._fusable(
-            key, x, return_trajectory, return_diagnostics, model_kwargs
+        """Gates + row lookup in ONE pass (None = scan path); the PT kernel
+        requires CONSTANT step/noise (no schedule tables), hence
+        ``_concrete_scalar`` rather than the Langevin gate's table check."""
+        from .base import _concrete_scalar
+        from .langevin import _fused_gates_ok
+
+        if return_diagnostics:
+            return None
+        if not _fused_gates_ok(self, key, x, model_kwargs, schedulables=()):
+            return None
+        if not _concrete_scalar(self.step_size) or not _concrete_scalar(
+            self.noise_scale
         ):
             return None
         return self._fused_row()
